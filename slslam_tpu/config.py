@@ -1,0 +1,106 @@
+"""Configuration for slslam-tpu.
+
+Replaces the reference's three config tiers (compile-time dataset defines in
+src/CMakeLists.txt:82-100, compile-time constants in src/parameter.h:23-63, and
+gflags in src/main.cpp:22-27) with runtime dataclasses.  Numeric values are
+identical to the reference (src/parameter.h:43-62).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Stereo rig calibration (reference: src/parameter.h:43-52)."""
+
+    image_width: int = 640
+    image_height: int = 480
+    baseline: float = 0.12
+    focal_length: float = 406.05
+    cx: float = 327.783
+    cy: float = 237.172
+
+    @property
+    def fx(self) -> float:
+        return self.focal_length
+
+    @property
+    def fy(self) -> float:
+        return self.focal_length
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Engine thresholds and solver knobs.
+
+    Reference sources: RANSAC constants src/parameter.h:25-26,53; thresholds
+    src/parameter.h:55-62; runtime flags src/main.cpp:22-27.
+    """
+
+    camera: CameraConfig = dataclasses.field(default_factory=CameraConfig)
+
+    # RANSAC (reference: src/parameter.h:25-26,53). The reference runs an
+    # adaptive sequential loop capped at max_trials=1000; the TPU engine runs a
+    # fixed batch of hypotheses scored in parallel (shape-stable under jit).
+    ransac_min_sample: int = 5           # max_feat_num
+    ransac_num_hypotheses: int = 256     # fixed batched trial count
+    prob_free_outliers: float = 0.999
+    ransac_max_t_norm: float = 1.0       # hypothesis reject (src/slam.cpp:401)
+
+    # Reprojection / thresholds (reference: src/parameter.h:55-62).
+    inverse_depth: float = 0.1
+    kf_rot_thr: float = 15.0 * math.pi / 180.0
+    kf_tr_thr: float = 0.75
+    line_vn_angle_thr: float = 3.0 * math.pi / 180.0
+    extension_length: float = 5.0
+
+    # Solver flags (reference: src/main.cpp:22-27, src/lba_problem.cpp:26-43).
+    ba_window_size: int = 10
+    max_num_iter: int = 10
+    robust: bool = True                  # Huber loss, delta = 1/focal_length
+    rseed: int = 4
+    pgo_num_iter: int = 10               # src/slam.cpp:1283
+
+    # TPU-native knobs (no reference analog).
+    compute_dtype: str = "float32"       # device kernel dtype
+    # Capacity buckets used to keep jitted kernel shapes stable. A problem of
+    # size n runs in the smallest bucket >= n.
+    obs_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 4096)
+    cam_buckets: tuple = (4, 8, 16, 32, 64, 128)
+    line_buckets: tuple = (32, 64, 128, 256, 512, 1024, 2048)
+
+    @property
+    def error_thr(self) -> float:
+        # src/parameter.h:56 — 5 px in normalized coords.
+        return 5.0 / self.camera.focal_length
+
+    @property
+    def huber_delta(self) -> float:
+        # src/lba_problem.cpp:78-80 — Huber delta = 1/focal_length.
+        return 1.0 / self.camera.focal_length
+
+
+@dataclasses.dataclass(frozen=True)
+class SequenceConfig:
+    """Per-dataset configuration (replaces -DIT3F/-DOLYMPIC4F/-DMYUNGDONG
+    compile definitions, src/parameter.h:28-41)."""
+
+    name: str
+    obs_dir: Optional[str] = None        # dir of %04d.txt line-track files
+    img_dir: Optional[str] = None        # dir of rectified left images
+    img_dir_right: Optional[str] = None
+
+
+def bucket_for(n: int, buckets) -> int:
+    """Smallest capacity bucket >= n (last bucket if n exceeds all)."""
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+DEFAULT_CONFIG = SlamConfig()

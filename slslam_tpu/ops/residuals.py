@@ -1,0 +1,120 @@
+"""Line reprojection residuals and Jacobians.
+
+Two flavors, matching the reference exactly:
+
+* ``lba_residual`` — the bundle-adjustment residual of
+  ceres::LineReprojectionError (/root/reference/src/lba_problem.h:41-121):
+  4 signed point-to-infinite-line distances (2 endpoints x 2 cameras) of a
+  line given in orthonormal (alpha, beta, gamma, theta) parameters, observed
+  by a camera given as an angle-axis 6-vector.  The first residual pair uses
+  the camera pose as-is, the second shifts the transformed closest point by
+  -baseline along x (the stereo pair; lba_problem.h:78-115 — note the
+  reference hard-codes baseline 0.12 at lba_problem.h:101, we take it as an
+  argument).
+
+* ``score_error`` — the RANSAC scoring error of SLAM::reprojection_error
+  (/root/reference/src/slam.cpp:691-726): mean of the 4 absolute distances,
+  with the line given in (cp, dv) form in the source frame and a candidate
+  motion.
+
+Jacobians come from ``jax.jacfwd`` over the scalar residual — under jit this
+produces exact, fused derivative code (the TPU-native equivalent of the
+reference's Ceres autodiff, AutoDiffCostFunction<.,4,6,4> at
+lba_problem.cpp:66) with no runtime autodiff overhead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .. import geometry as geo
+
+_EPS = 1e-12
+
+
+def _orth_to_cp_dv(line_orth):
+    """Orthonormal params -> (cp, dv), the functor's inline expansion
+    (lba_problem.h:50-72)."""
+    av = geo.orth_to_av(line_orth)
+    return av[..., :3], av[..., 3:]
+
+
+def lba_residual(cam_wt, line_orth, obs, baseline):
+    """BA residual. cam_wt: (6,), line_orth: (4,), obs: (8,) -> (4,).
+
+    obs layout: (x0 y0 x1 y1 | x2 y2 x3 y3), left-image endpoint pair first
+    (the loader contract, slam.cpp:85-95,121-128).
+    """
+    cp, dv = _orth_to_cp_dv(line_orth)
+    R = geo.rodrigues(cam_wt[..., :3])
+    pc = jnp.einsum("...ij,...j->...i", R, cp) + cam_wt[..., 3:]
+    dc = jnp.einsum("...ij,...j->...i", R, dv)
+
+    def segment_residuals(p, x_a, y_a, x_b, y_b):
+        n = jnp.cross(p, dc)
+        sql = jnp.sqrt(n[..., 0] ** 2 + n[..., 1] ** 2)
+        n = n / jnp.maximum(sql, _EPS)[..., None]
+        r_a = -(x_a * n[..., 0] + y_a * n[..., 1] + n[..., 2])
+        r_b = -(x_b * n[..., 0] + y_b * n[..., 1] + n[..., 2])
+        return r_a, r_b
+
+    r0, r1 = segment_residuals(pc, obs[..., 0], obs[..., 1],
+                               obs[..., 2], obs[..., 3])
+    pc_r = pc.at[..., 0].add(-baseline)
+    r2, r3 = segment_residuals(pc_r, obs[..., 4], obs[..., 5],
+                               obs[..., 6], obs[..., 7])
+    return jnp.stack([r0, r1, r2, r3], axis=-1)
+
+
+def lba_residual_jac(cam_wt, line_orth, obs, baseline):
+    """Residual plus Jacobians d r / d cam (4, 6) and d r / d line (4, 4)."""
+    r = lba_residual(cam_wt, line_orth, obs, baseline)
+    j_cam = jax.jacfwd(lba_residual, argnums=0)(cam_wt, line_orth, obs,
+                                                baseline)
+    j_line = jax.jacfwd(lba_residual, argnums=1)(cam_wt, line_orth, obs,
+                                                 baseline)
+    return r, j_cam, j_line
+
+
+def score_error(obs, R, t, line_av, baseline):
+    """RANSAC scoring error (slam.cpp:691-726). Scalar per observation.
+
+    obs: (8,), R/t: candidate motion source->target, line_av: (6,) (cp, dv)
+    in the source frame.  Returns mean of 4 absolute normalized distances.
+    """
+    cp, dv = line_av[..., :3], line_av[..., 3:]
+
+    def one_cam(shift):
+        tc = t.at[..., 0].add(shift) if shift else t
+        cpc = jnp.einsum("...ij,...j->...i", R, cp) + tc
+        dvc = jnp.einsum("...ij,...j->...i", R, dv)
+        n = jnp.cross(cpc, dvc)
+        sql = jnp.sqrt(n[..., 0] ** 2 + n[..., 1] ** 2)
+        return n / jnp.maximum(sql, _EPS)[..., None]
+
+    n_l = one_cam(0.0)
+    n_r = one_cam(-baseline)
+
+    def dist(n, x, y):
+        return jnp.abs(x * n[..., 0] + y * n[..., 1] + n[..., 2])
+
+    err = (dist(n_l, obs[..., 0], obs[..., 1])
+           + dist(n_l, obs[..., 2], obs[..., 3])
+           + dist(n_r, obs[..., 4], obs[..., 5])
+           + dist(n_r, obs[..., 6], obs[..., 7]))
+    return err / 4.0
+
+
+# Batched variants ----------------------------------------------------------
+
+# residual+jacobians over a batch of observations, each with its own camera
+# and line parameters (already gathered): (O,6),(O,4),(O,8) -> (O,4),(O,4,6),(O,4,4)
+lba_residual_jac_batch = jax.vmap(lba_residual_jac,
+                                  in_axes=(0, 0, 0, None))
+
+# scoring over (hypotheses H, observations N): R (H,3,3), t (H,3) vs
+# obs (N,8), lines (N,6) -> (H, N) errors
+score_error_hyp_obs = jax.vmap(
+    jax.vmap(score_error, in_axes=(0, None, None, 0, None)),
+    in_axes=(None, 0, 0, None, None))

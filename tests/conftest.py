@@ -1,0 +1,21 @@
+"""Test configuration: force an 8-device CPU mesh and float64.
+
+Tests run on a virtual 8-device CPU topology
+(xla_force_host_platform_device_count) so all sharding/mesh code paths are
+exercised without TPU hardware; numeric tests use x64 for tight tolerances.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The environment's site customization force-registers a TPU plugin that
+# overrides JAX_PLATFORMS from the env; jax.config wins over it.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
