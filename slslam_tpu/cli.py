@@ -1,0 +1,186 @@
+"""Command-line driver.
+
+Replaces the reference's per-dataset binaries + gflags
+(/root/reference/src/main.cpp) with one CLI and runtime sequence configs:
+
+  python -m slslam_tpu.cli sim   --frames 120 --noise-px 0.5 --out /tmp/run
+  python -m slslam_tpu.cli run   --obs-dir data/it3f/line_tracking_result
+  python -m slslam_tpu.cli gen   --frames 400 --out /tmp/house_seq
+
+Flags mirror the reference's (--ba-window-size, --max-num-iter, --rseed,
+--robust, --stopfrm; main.cpp:22-27).
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+
+def _add_engine_flags(p: argparse.ArgumentParser):
+    p.add_argument("--ba-window-size", type=int, default=10)
+    p.add_argument("--max-num-iter", type=int, default=10)
+    p.add_argument("--rseed", type=int, default=4)
+    p.add_argument("--robust", action="store_true", default=True)
+    p.add_argument("--no-robust", dest="robust", action="store_false")
+    p.add_argument("--stopfrm", type=int, default=99999)
+    p.add_argument("--dtype", default=None,
+                   help="compute dtype (default: float32 on TPU, "
+                        "float64 on CPU)")
+    p.add_argument("--platform", default=None,
+                   help="jax platform override (cpu / axon / tpu)")
+    p.add_argument("--out", default=None, help="output directory")
+
+
+def _make_config(args):
+    from .config import SlamConfig
+    import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    platform = jax.devices()[0].platform
+    dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
+    if dtype == "float64" and platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+    return SlamConfig(
+        ba_window_size=args.ba_window_size,
+        max_num_iter=args.max_num_iter,
+        rseed=args.rseed,
+        robust=args.robust,
+        compute_dtype=dtype,
+    )
+
+
+def _finish(slam, args, gt_rows=None):
+    import numpy as np
+    from .evalio.traj import ate_position_error
+    from .evalio.writers import trajectory_rows
+
+    stats = slam.post_processing()
+    est = trajectory_rows(slam.trajectory())
+    if gt_rows is not None and len(est) and len(gt_rows):
+        stats["ate_m"] = ate_position_error(est, gt_rows)
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        slam.save_trajectory(os.path.join(args.out, "trajectory.txt"))
+        slam.save_landmarks(os.path.join(args.out, "landmarks.txt"))
+        if gt_rows is not None:
+            np.savetxt(os.path.join(args.out, "gt_trajectory.txt"), gt_rows,
+                       delimiter="\t")
+        with open(os.path.join(args.out, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+
+    for k, v in stats.items():
+        print(f"  {k}: {v}")
+    return stats
+
+
+def cmd_sim(args):
+    import numpy as np
+    from .engine import Slam
+    from .evalio.writers import trajectory_rows
+    from .sim import StereoLineRenderer, house_segments, wave_trajectory
+
+    cfg = _make_config(args)
+    segs = house_segments()
+    poses_gt = wave_trajectory(num_frames=args.frames)
+    ren = StereoLineRenderer(segs, cfg.camera, noise_px=args.noise_px,
+                             seed=args.rseed)
+    slam = Slam(cfg)
+
+    kf_frames = []
+    t0 = time.time()
+    for i, T in enumerate(poses_gt):
+        if i > args.stopfrm:
+            break
+        if slam.process_frame(ren.observe(T), i):
+            kf_frames.append(i)
+        if args.verbose and i % 20 == 0:
+            print(f"frame {i}: kfs={len(kf_frames)} "
+                  f"lms={len(slam.state.lms)}", file=sys.stderr)
+    wall = time.time() - t0
+    print(f"processed {len(poses_gt)} frames -> {len(kf_frames)} keyframes "
+          f"in {wall:.1f}s ({len(kf_frames) / wall:.2f} kf/s)")
+
+    if kf_frames:
+        T0 = poses_gt[kf_frames[0]]
+        gt_rows = trajectory_rows(
+            [(poses_gt[i] @ T0.inv()).inv() for i in kf_frames])
+    else:
+        gt_rows = None
+    _finish(slam, args, gt_rows)
+
+
+def cmd_run(args):
+    from .engine import Slam
+    from .frontend.io import ObsFileLoader
+
+    cfg = _make_config(args)
+    slam = Slam(cfg)
+    loader = ObsFileLoader(args.obs_dir)
+
+    t0 = time.time()
+    n = 0
+    for frame_id, obs in loader:
+        if frame_id > args.stopfrm:
+            break
+        slam.process_frame(obs, frame_id, normalized=False)
+        n += 1
+    wall = time.time() - t0
+    print(f"processed {n} frames, {len(slam.state.kfs)} keyframes "
+          f"in {wall:.1f}s")
+    _finish(slam, args)
+
+
+def cmd_gen(args):
+    from .config import CameraConfig
+    from .sim import StereoLineRenderer, house_segments, wave_trajectory
+    from .evalio.writers import trajectory_rows
+    import numpy as np
+
+    segs = house_segments()
+    poses = wave_trajectory(num_frames=args.frames)
+    ren = StereoLineRenderer(segs, CameraConfig(), noise_px=args.noise_px,
+                             seed=args.rseed)
+    out = args.out or "house_seq"
+    ren.write_sequence(out, poses)
+    gt_rows = trajectory_rows([(T @ poses[0].inv()).inv() for T in poses])
+    np.savetxt(os.path.join(out, "gt_trajectory.txt"), gt_rows,
+               delimiter="\t")
+    print(f"wrote {args.frames} frames to {out}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="slslam_tpu",
+                                description="TPU-native stereo line SLAM")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("sim", help="run the house-world simulation")
+    ps.add_argument("--frames", type=int, default=120)
+    ps.add_argument("--noise-px", type=float, default=0.5)
+    ps.add_argument("--verbose", action="store_true")
+    _add_engine_flags(ps)
+    ps.set_defaults(fn=cmd_sim)
+
+    pr = sub.add_parser("run", help="replay a line-track sequence directory")
+    pr.add_argument("--obs-dir", required=True)
+    _add_engine_flags(pr)
+    pr.set_defaults(fn=cmd_run)
+
+    pg = sub.add_parser("gen", help="generate a sim sequence to disk")
+    pg.add_argument("--frames", type=int, default=400)
+    pg.add_argument("--noise-px", type=float, default=0.5)
+    pg.add_argument("--rseed", type=int, default=4)
+    pg.add_argument("--out", default=None)
+    pg.set_defaults(fn=cmd_gen)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

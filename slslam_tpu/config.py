@@ -65,6 +65,13 @@ class SlamConfig:
     rseed: int = 4
     pgo_num_iter: int = 10               # src/slam.cpp:1283
 
+    # The released reference never populates curr_ba_kfs, so its delete_lms
+    # (src/slam.cpp:765-791) is a no-op and landmarks are never
+    # garbage-collected.  False reproduces that; True enables the intended
+    # semantics (delete never-twice-observed landmarks of keyframes leaving
+    # the BA window).
+    gc_landmarks: bool = False
+
     # TPU-native knobs (no reference analog).
     compute_dtype: str = "float32"       # device kernel dtype
     # Capacity buckets used to keep jitted kernel shapes stable. A problem of

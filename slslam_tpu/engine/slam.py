@@ -1,0 +1,790 @@
+"""The SLAM engine: per-frame pipeline over jitted device kernels.
+
+Re-designs class SLAM (/root/reference/src/slam.{h,cpp}) as a functional-core
+/ imperative-shell split: this module owns the host-side map registries, id
+bookkeeping, metric embedding, and window selection, and calls fixed-shape
+jitted kernels (ops/) for every hot computation — RANSAC VO, motion-only BA,
+windowed Schur-LM BA, pose-graph optimization, and batched triangulation.
+All device problems are padded to capacity buckets so jit caches stay warm.
+
+Per-frame cycle (main.cpp:45-80):
+  start_cycle -> grab_frame -> check_input_data -> check_keyframe_motion
+  -> add_new_keyframe -> [place_recognized -> loop_closure ->
+  pose_optimization] -> local_bundle_adjustment -> end_cycle
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import geometry as geo
+from ..config import SlamConfig, bucket_for
+from ..hostgeom import Pose, angle_normvec, line_from_pose, line_to_pose, \
+    normalize, rotation_angle, skew
+from ..ops.pose_graph import pose_graph_opt
+from ..ops.ransac import ransac_vo
+from ..ops.residuals import score_error_hyp_obs
+from ..ops.schur_ba import local_ba
+from ..ops.triangulate import triangulate_lines
+from ..utils.stopwatch import StopWatch
+from .embedding import metric_embedding
+from .state import Edge, Keyframe, Landmark, MapState
+
+
+@jax.jit
+def _score_one_motion(obs, lines, wt, baseline):
+    """Reprojection errors of all observations under one motion."""
+    R = geo.rodrigues(wt[None, :3])
+    t = wt[None, 3:]
+    return score_error_hyp_obs(obs, R, t, lines, baseline)[0]
+
+
+class Slam:
+    """The engine. One instance per sequence (reference SLAM ctor,
+    slam.cpp:30-40)."""
+
+    def __init__(self, config: Optional[SlamConfig] = None):
+        self.cfg = config or SlamConfig()
+        self.state = MapState()
+        self.dtype = jnp.dtype(self.cfg.compute_dtype)
+
+        self.frame_id = -1
+        self.curr_pose = Pose()
+        self.curr_obs: Dict[int, np.ndarray] = {}
+        self.prev_kf_obs: Dict[int, np.ndarray] = {}
+        self.final_inliers: Set[int] = set()
+        self.ba_kfs: Dict[int, int] = {}
+        self.prev_ba_kfs: Set[int] = set()
+        self.match_result: Dict[int, int] = {}
+        self.lc_kf_id = -1
+        self.lc_cnt = 0
+
+        self.key = jax.random.PRNGKey(self.cfg.rseed)
+        self.stop_watch = StopWatch()
+
+        # run statistics (reference m_sum_*, slam.cpp:37-39,949-952)
+        self.sum_init_cost = 0.0
+        self.sum_final_cost = 0.0
+        self.sum_num_iteration = 0
+        self.num_frames_processed = 0
+
+    # ------------------------------------------------------------------
+    # cycle plumbing
+    # ------------------------------------------------------------------
+
+    def start_cycle(self, frame_id: int):
+        """slam.cpp:50-58."""
+        self.frame_id = frame_id
+        self.curr_obs = {}
+        self.ba_kfs = {}
+        self.match_result = {}
+
+    def grab_frame(self, obs: Dict[int, np.ndarray],
+                   normalized: bool = True):
+        """Ingest one frame of stereo line observations.
+
+        obs: feature_id -> (8,) endpoints.  If not `normalized`, pixel
+        coordinates are converted with the calibration
+        (slam.cpp:112-135).  Applies the loop-closure id remap
+        (match_lookup) and refreshes landmark visibility (slam.cpp:62-108).
+        """
+        for lm in self.state.lms.values():
+            lm.currently_visible = False
+
+        cam = self.cfg.camera
+        for fid, o in obs.items():
+            o = np.asarray(o, np.float64)
+            if not normalized:
+                o = o.copy()
+                o[0::2] = o[0::2] / cam.fx - cam.cx / cam.fx
+                o[1::2] = o[1::2] / cam.fy - cam.cy / cam.fy
+            fid = self.state.match_lookup.get(fid, fid)
+            self.curr_obs[fid] = o
+            if fid in self.state.lms:
+                self.state.lms[fid].currently_visible = True
+
+    def check_input_data(self) -> int:
+        """slam.cpp:139-147: 1 = no obs, 2 = no previous KF, 0 = proceed."""
+        if not self.curr_obs:
+            return 1
+        if not self.prev_kf_obs:
+            return 2
+        return 0
+
+    def end_cycle(self):
+        """slam.cpp:1553-1555."""
+        self.prev_kf_obs = self.curr_obs
+
+    def process_frame(self, obs: Dict[int, np.ndarray], frame_id: int,
+                      normalized: bool = True) -> bool:
+        """One full frame of the reference main loop (main.cpp:45-80).
+
+        Returns True if the frame became a keyframe.
+        """
+        self.start_cycle(frame_id)
+        self.grab_frame(obs, normalized=normalized)
+        status = self.check_input_data()
+        if status == 1:
+            return False
+        if status == 2:
+            self.add_new_keyframe(add_edge=False)
+            self.end_cycle()
+            return True
+        if not self.check_keyframe_motion():
+            return False
+        self.add_new_keyframe(add_edge=True)
+        if self.place_recognized() and self.loop_closure():
+            if self.consistency_broken():
+                self.pose_optimization()
+        self.local_bundle_adjustment()
+        self.end_cycle()
+        self.num_frames_processed += 1
+        return True
+
+    # ------------------------------------------------------------------
+    # landmark initialization
+    # ------------------------------------------------------------------
+
+    def _add_lms(self):
+        """slam.cpp:161-186: triangulate new features, append observations
+        of known ones.  All new features triangulate in one batched kernel
+        call."""
+        st = self.state
+        kfid = st.last_kf_id()
+        new_kfid = (kfid + 1) if kfid is not None else 0
+
+        new_ids = [fid for fid in self.curr_obs if fid not in st.lms]
+        new_set = set(new_ids)
+        if new_ids:
+            O = np.stack([self.curr_obs[f] for f in new_ids])
+            lines = np.asarray(triangulate_lines(
+                jnp.asarray(O, self.dtype), self.cfg.camera.baseline,
+                inverse_depth=self.cfg.inverse_depth), np.float64)
+            for fid, line in zip(new_ids, lines):
+                lm = Landmark(line=line, init_kfid=new_kfid)
+                lm.tt = np.zeros(2)
+                lm.pvn = normalize(line[3:])
+                lm.obs_vec.append((new_kfid, self.curr_obs[fid]))
+                st.lms[fid] = lm
+
+        for fid, o in self.curr_obs.items():
+            if fid not in new_set:
+                st.lms[fid].obs_vec.append((new_kfid, o))
+
+    # ------------------------------------------------------------------
+    # visual odometry
+    # ------------------------------------------------------------------
+
+    def pose_estimation(self, obs0: Dict[int, np.ndarray],
+                        obs1: Dict[int, np.ndarray]) -> Optional[Pose]:
+        """slam.cpp:244-319: RANSAC + motion-only BA + final inliers.
+
+        Landmark lines are fetched in the current embedding frame; the
+        caller must have run metric_embedding at the reference frame.
+        Returns the motion (frame of obs0 -> frame of obs1) or None.
+        """
+        self.stop_watch.tick("pose_estimation")
+        st = self.state
+        cfg = self.cfg
+
+        comm = sorted(set(obs0) & set(obs1) & set(st.lms))
+        if len(comm) < cfg.ransac_min_sample:
+            self.stop_watch.tock("pose_estimation")
+            return None
+
+        lines = {}
+        for fid in comm:
+            lm = st.lms[fid]
+            lines[fid] = line_from_pose(lm.line, st.kfs[lm.init_kfid].T)
+
+        N = len(comm)
+        Nb = bucket_for(N, cfg.obs_buckets)
+        o0 = np.zeros((Nb, 8))
+        o1 = np.zeros((Nb, 8))
+        ln = np.zeros((Nb, 6))
+        ln[:, 5] = 1.0  # benign direction for padding
+        valid = np.zeros(Nb, bool)
+        for k, fid in enumerate(comm):
+            o0[k] = obs0[fid]
+            o1[k] = obs1[fid]
+            ln[k] = lines[fid]
+            valid[k] = True
+
+        self.key, sub = jax.random.split(self.key)
+        res = ransac_vo(
+            jnp.asarray(o0, self.dtype), jnp.asarray(o1, self.dtype),
+            jnp.asarray(ln, self.dtype), jnp.asarray(valid), sub,
+            cfg.camera.baseline, cfg.error_thr,
+            max_t_norm=cfg.ransac_max_t_norm,
+            num_hyp=cfg.ransac_num_hypotheses,
+            sample_size=cfg.ransac_min_sample)
+
+        best_score = int(res.best_score)
+        if best_score < cfg.ransac_min_sample:
+            self.stop_watch.tock("pose_estimation")
+            return None
+
+        inlier_ids = [comm[k] for k in range(N) if bool(res.inliers[k])]
+        wt = self.motion_only_ba(obs0, obs1, lines, np.asarray(res.best_wt),
+                                 inlier_ids)
+
+        # final inlier set under the polished motion (slam.cpp:305-314)
+        errors = np.asarray(_score_one_motion(
+            jnp.asarray(o1, self.dtype), jnp.asarray(ln, self.dtype),
+            jnp.asarray(wt, self.dtype), cfg.camera.baseline))
+        self.final_inliers = {
+            comm[k] for k in range(N) if errors[k] < cfg.error_thr}
+
+        self.stop_watch.tock("pose_estimation")
+        return Pose.from_wt(wt)
+
+    def motion_only_ba(self, obs0, obs1, lines, wt0, inlier_ids):
+        """slam.cpp:578-675: polish the RANSAC motion with a 2-camera BA
+        (camera 1 = identity fixed, all lines fixed)."""
+        cfg = self.cfg
+        M = len(inlier_ids)
+        if M == 0:
+            return wt0
+
+        line_av = np.stack([lines[f] for f in inlier_ids])
+        line_orth = np.asarray(geo.av_to_orth(jnp.asarray(line_av)))
+
+        O = 2 * M
+        Ob = bucket_for(O, cfg.obs_buckets)
+        Lb = bucket_for(M, cfg.line_buckets)
+        obs = np.zeros((Ob, 8))
+        ocam = np.zeros(Ob, np.int32)
+        olin = np.zeros(Ob, np.int32)
+        valid = np.zeros(Ob, bool)
+        for k, fid in enumerate(inlier_ids):
+            obs[2 * k] = obs1[fid]
+            ocam[2 * k] = 0
+            olin[2 * k] = k
+            obs[2 * k + 1] = obs0[fid]
+            ocam[2 * k + 1] = 1
+            olin[2 * k + 1] = k
+            valid[2 * k:2 * k + 2] = True
+
+        lorth = np.zeros((Lb, 4))
+        lorth[:, 3] = 0.5  # benign theta for padding (avoids 1/sin(0))
+        lorth[:M] = line_orth
+
+        cam = np.zeros((4, 6))
+        cam[0] = wt0
+        cam_free = np.array([True, False, False, False])
+
+        cam_out, _, _ = local_ba(
+            jnp.asarray(cam, self.dtype), jnp.asarray(lorth, self.dtype),
+            jnp.asarray(obs, self.dtype), jnp.asarray(ocam),
+            jnp.asarray(olin), jnp.asarray(valid), jnp.asarray(cam_free),
+            jnp.zeros(Lb, bool), cfg.camera.baseline, cfg.huber_delta,
+            robust=cfg.robust, max_iters=cfg.max_num_iter)
+        return np.asarray(cam_out)[0]
+
+    def check_keyframe_motion(self) -> bool:
+        """slam.cpp:223-240: VO against the previous keyframe; KF iff the
+        motion exceeds the rotation/translation thresholds."""
+        st = self.state
+        metric_embedding(st, st.last_kf_id())
+        motion = self.pose_estimation(self.prev_kf_obs, self.curr_obs)
+        if motion is None:
+            return False
+        if (rotation_angle(motion.R) < self.cfg.kf_rot_thr
+                and np.linalg.norm(motion.t) < self.cfg.kf_tr_thr):
+            return False
+        self.curr_pose = motion
+        return True
+
+    # ------------------------------------------------------------------
+    # keyframe / map growth
+    # ------------------------------------------------------------------
+
+    def add_new_keyframe(self, add_edge: bool):
+        """slam.cpp:730-761."""
+        st = self.state
+        kf = Keyframe(T=self.curr_pose.copy())
+
+        prev_id = st.last_kf_id()
+        # member lms: final inliers recorded on both the new and previous KF
+        # (slam.cpp:151-157)
+        for fid in self.final_inliers:
+            kf.member_lms.add(fid)
+            if prev_id is not None:
+                st.kfs[prev_id].member_lms.add(fid)
+
+        self._add_lms()
+
+        new_id = (prev_id + 1) if prev_id is not None else 0
+        if add_edge:
+            e = Edge.from_pose(self.curr_pose)
+            st.edges[(prev_id, new_id)] = e
+            st.edges[(new_id, prev_id)] = e.inverse()
+            st.edge_set.add((prev_id, new_id))
+            kf.neighbor_kfs.add(prev_id)
+            st.kfs[prev_id].neighbor_kfs.add(new_id)
+
+        st.kfs[new_id] = kf
+
+    # ------------------------------------------------------------------
+    # local bundle adjustment
+    # ------------------------------------------------------------------
+
+    def local_bundle_adjustment(self):
+        """slam.cpp:1370-1427: embed at newest KF, window = first 2W KFs by
+        metric distance, BA, then write BA results back into the edge
+        constraints."""
+        st = self.state
+        cfg = self.cfg
+
+        order = metric_embedding(st, st.last_kf_id())
+        self.ba_kfs = {}
+        for rank, (_, kid) in enumerate(order):
+            if rank >= 2 * cfg.ba_window_size:
+                break
+            self.ba_kfs[kid] = rank
+
+        self.stop_watch.tick("local_ba")
+        self._bundle_adjustment()
+        self.stop_watch.tock("local_ba")
+
+        # refresh all intra-free-window edges: T and C := BA relative pose
+        # (slam.cpp:1390-1416) — this is how BA results persist in the
+        # relative map.
+        free = sorted(k for k, rank in self.ba_kfs.items()
+                      if rank < cfg.ba_window_size)
+        for i in range(len(free)):
+            for j in range(i + 1, len(free)):
+                n1, n2 = free[i], free[j]
+                if (n1, n2) not in st.edges:
+                    continue
+                T = st.kfs[n2].T.rel_to(st.kfs[n1].T)
+                st.edges[(n1, n2)].T = T.copy()
+                st.edges[(n1, n2)].C = T.copy()
+                Ti = T.inv()
+                st.edges[(n2, n1)].T = Ti.copy()
+                st.edges[(n2, n1)].C = Ti.copy()
+
+        self.delete_lms()
+        self.extend_end_points()
+
+    def _bundle_adjustment(self):
+        """slam.cpp:795-975: pack the window problem, solve, write back."""
+        st = self.state
+        cfg = self.cfg
+
+        # free cameras: window rank < W, registered in ascending kf id
+        kfid_map: Dict[int, int] = {}
+        vec_kfs: List[int] = []
+        cam_wt: List[np.ndarray] = []
+        lm_count: Dict[int, int] = {}
+        for kid in sorted(self.ba_kfs):
+            if self.ba_kfs[kid] >= cfg.ba_window_size:
+                continue
+            kf = st.kfs[kid]
+            for fid in kf.member_lms:
+                lm_count[fid] = lm_count.get(fid, 0) + 1
+            kfid_map[kid] = len(vec_kfs)
+            vec_kfs.append(kid)
+            cam_wt.append(st.kfs[kid].T.wt())
+
+        num_free = len(vec_kfs)
+
+        obs_rows: List[np.ndarray] = []
+        obs_cam: List[int] = []
+        obs_line: List[int] = []
+        cam_fixed_flags: List[bool] = [False] * num_free
+        line_ids: List[int] = []
+
+        for fid in sorted(lm_count):
+            if lm_count[fid] < 2 or fid not in st.lms:
+                continue
+            lm = st.lms[fid]
+            lm.twice_observed = True
+            lm.ba_updated = True
+            line_idx = len(line_ids)
+            used = False
+            for (obs_kfid, o) in lm.obs_vec:
+                if obs_kfid not in self.ba_kfs:
+                    continue
+                ci = kfid_map.get(obs_kfid)
+                if ci is None:
+                    # out-of-free-window observer appended as fixed camera
+                    ci = len(vec_kfs)
+                    kfid_map[obs_kfid] = ci
+                    vec_kfs.append(obs_kfid)
+                    cam_wt.append(st.kfs[obs_kfid].T.wt())
+                    cam_fixed_flags.append(True)
+                obs_rows.append(o)
+                obs_cam.append(ci)
+                obs_line.append(line_idx)
+                used = True
+            if used:
+                line_ids.append(fid)
+            # note: lines seen >=2 in the window always have >=2 obs here
+
+        if not line_ids or num_free == 0:
+            return
+
+        line_av = np.stack([
+            line_from_pose(st.lms[f].line, st.kfs[st.lms[f].init_kfid].T)
+            for f in line_ids])
+        line_orth = np.asarray(geo.av_to_orth(jnp.asarray(line_av)))
+
+        C, L, O = len(vec_kfs), len(line_ids), len(obs_rows)
+        Cb = bucket_for(C, cfg.cam_buckets)
+        Lb = bucket_for(L, cfg.line_buckets)
+        Ob = bucket_for(O, cfg.obs_buckets)
+
+        cam_p = np.zeros((Cb, 6))
+        cam_p[:C] = np.stack(cam_wt)
+        cam_free = np.zeros(Cb, bool)
+        cam_free[:C] = ~np.asarray(cam_fixed_flags)
+
+        lorth = np.zeros((Lb, 4))
+        lorth[:, 3] = 0.5
+        lorth[:L] = line_orth
+        line_free = np.zeros(Lb, bool)
+        line_free[:L] = True
+
+        obs_p = np.zeros((Ob, 8))
+        obs_p[:O] = np.stack(obs_rows)
+        ocam = np.zeros(Ob, np.int32)
+        ocam[:O] = obs_cam
+        olin = np.zeros(Ob, np.int32)
+        olin[:O] = obs_line
+        valid = np.zeros(Ob, bool)
+        valid[:O] = True
+
+        cam_out, line_out, stats = local_ba(
+            jnp.asarray(cam_p, self.dtype), jnp.asarray(lorth, self.dtype),
+            jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
+            jnp.asarray(olin), jnp.asarray(valid), jnp.asarray(cam_free),
+            jnp.asarray(line_free), cfg.camera.baseline, cfg.huber_delta,
+            robust=cfg.robust, max_iters=cfg.max_num_iter)
+        cam_out = np.asarray(cam_out, np.float64)
+        line_out = np.asarray(line_out, np.float64)
+
+        self.sum_num_iteration += int(stats.iterations)
+        self.sum_init_cost += float(stats.initial_cost)
+        self.sum_final_cost += float(stats.final_cost)
+
+        # write back poses first, then lines (which re-read the updated
+        # init-KF poses) — matching the reference order (slam.cpp:957-972)
+        for ci, kid in enumerate(vec_kfs):
+            st.kfs[kid].T = Pose.from_wt(cam_out[ci])
+        line_av_out = np.asarray(
+            geo.orth_to_av(jnp.asarray(line_out[:L])), np.float64)
+        for li, fid in enumerate(line_ids):
+            lm = st.lms[fid]
+            lm.line = line_to_pose(line_av_out[li],
+                                   st.kfs[lm.init_kfid].T)
+
+    # ------------------------------------------------------------------
+    # landmark lifecycle
+    # ------------------------------------------------------------------
+
+    def delete_lms(self):
+        """slam.cpp:765-791.  NOTE: in the released reference,
+        curr_ba_kfs is never populated, so deletion never fires; we
+        reproduce that default and gate the *intended* semantics behind
+        cfg.gc_landmarks."""
+        gc = getattr(self.cfg, "gc_landmarks", False)
+        if not gc:
+            self.prev_ba_kfs = set()
+            return
+        st = self.state
+        curr = set(self.ba_kfs)
+        for kid in self.prev_ba_kfs - curr:
+            kf = st.kfs.get(kid)
+            if kf is None:
+                continue
+            for fid in list(kf.member_lms):
+                lm = st.lms.get(fid)
+                if lm is None:
+                    kf.member_lms.discard(fid)
+                    continue
+                if not lm.twice_observed:
+                    del st.lms[fid]
+        self.prev_ba_kfs = curr
+
+    def extend_end_points(self):
+        """slam.cpp:979-1084: maintain finite drawable endpoint intervals
+        tt on the infinite landmark lines."""
+        st = self.state
+        thr = self.cfg.extension_length
+        for lm in st.lms.values():
+            if not lm.ba_updated or not lm.currently_visible:
+                continue
+            lm.ba_updated = False
+
+            cvn = normalize(lm.line[3:])
+            if angle_normvec(cvn, lm.pvn) > self.cfg.line_vn_angle_thr:
+                lm.pvn = cvn
+                lm.tt = np.zeros(2)
+
+            init_pose = st.kfs[lm.init_kfid].T
+            relative_pose = init_pose.inv()
+            line2 = line_from_pose(lm.line, init_pose)
+
+            pc, vc = line2[:3], line2[3:]
+            nc = np.cross(pc, vc)
+            Lc = np.zeros((4, 4))
+            Lc[:3, :3] = skew(nc)
+            Lc[:3, 3] = vc
+            Lc[3, :3] = -vc
+            obs_kfid, o = lm.obs_vec[-1]
+            p11 = np.array([o[0], o[1], 1.0])
+            p21 = np.array([o[2], o[3], 1.0])
+            ln = np.cross(p11, p21)[:2]
+            n_ln = np.linalg.norm(ln)
+            if n_ln == 0:
+                continue
+            ln = ln / n_ln
+            p12 = np.array([p11[0] + ln[0], p11[1] + ln[1], 1.0])
+            p22 = np.array([p21[0] + ln[0], p21[1] + ln[1], 1.0])
+            cam = np.zeros(3)
+
+            def ppp(x1, x2, x3):
+                return np.concatenate([
+                    np.cross(x1 - x3, x2 - x3),
+                    [-x3 @ np.cross(x1, x2)]])
+
+            e1 = Lc @ ppp(cam, p11, p12)
+            e2 = Lc @ ppp(cam, p21, p22)
+
+            vv = vc @ vc
+            p0 = np.cross(vc, nc) / vv
+            vn = vc / np.sqrt(vv)
+
+            p0_dist = np.linalg.norm(p0)
+            if p0_dist > thr:
+                continue
+            if abs(e1[3]) < 1e-12 or abs(e2[3]) < 1e-12:
+                continue
+            pc1 = e1[:3] / e1[3]
+            pc2 = e2[:3] / e2[3]
+            if pc1[2] < 0 or pc2[2] < 0:
+                continue
+
+            t1 = vn @ (pc1 - p0)
+            t2 = vn @ (pc2 - p0)
+            tt = np.array(sorted([t1, t2]))
+
+            extend = np.sqrt(max(thr * thr - p0_dist * p0_dist, 0.0))
+            tt = np.clip(tt, -extend, extend)
+            if tt[0] == tt[1]:
+                continue
+
+            init_v = lm.line[3:]
+            tt1 = _tt_to_pose(lm.tt, init_v, relative_pose)
+            if tt1[0] == 0 and tt1[1] == 0:
+                tt1 = tt
+            else:
+                tt1[0] = min(tt1[0], tt[0])
+                tt1[1] = max(tt1[1], tt[1])
+            lm.tt = _tt_from_pose(tt1, init_v, relative_pose)
+
+    # ------------------------------------------------------------------
+    # loop closure / pose graph
+    # ------------------------------------------------------------------
+
+    def place_recognized(self) -> bool:
+        """Stubbed false in the released reference (slam.cpp:1088-1104);
+        the loop-closure subsystem (slslam_tpu.loopclosure) plugs in here."""
+        return False
+
+    def loop_closure(self) -> bool:
+        """slam.cpp:1108-1211: estimate the loop relative pose from the
+        matched old landmarks, insert the loop edge, and merge landmark
+        identities."""
+        st = self.state
+        self.lc_cnt += 1
+
+        metric_embedding(st, self.lc_kf_id)
+
+        obs0: Dict[int, np.ndarray] = {}
+        obs1: Dict[int, np.ndarray] = {}
+        for cid, lid in self.match_result.items():
+            lm = st.lms.get(lid)
+            if lm is None:
+                continue
+            for (obs_kfid, o) in lm.obs_vec:
+                if obs_kfid == self.lc_kf_id:
+                    obs0[lid] = o
+                    obs1[lid] = self.curr_obs[cid]
+                    break
+
+        motion = self.pose_estimation(obs0, obs1)
+        if motion is None:
+            return False
+
+        kfid = st.last_kf_id()
+        e = Edge.from_pose(motion)
+        st.edges[(self.lc_kf_id, kfid)] = e
+        st.edges[(kfid, self.lc_kf_id)] = e.inverse()
+        st.edge_set.add((self.lc_kf_id, kfid))
+        st.kfs[self.lc_kf_id].neighbor_kfs.add(kfid)
+        st.kfs[kfid].neighbor_kfs.add(self.lc_kf_id)
+
+        # merge: current landmark's history is appended onto the old
+        # landmark, KF memberships rewritten, current lm deleted, current
+        # obs re-keyed, and future frames remapped via match_lookup
+        temp: Dict[int, int] = {}
+        for cid, lid in self.match_result.items():
+            if lid not in obs1 or cid not in st.lms:
+                continue
+            if lid not in self.final_inliers:
+                continue
+            lm_old = st.lms[lid]
+            lm_cur = st.lms[cid]
+            for (obs_kfid, o) in lm_cur.obs_vec:
+                lm_old.obs_vec.append((obs_kfid, o))
+                kf = st.kfs[obs_kfid]
+                if cid in kf.member_lms:
+                    kf.member_lms.discard(cid)
+                    kf.member_lms.add(lid)
+            del st.lms[cid]
+            temp[lid] = cid
+
+        for lid in list(self.final_inliers):
+            cid = temp.get(lid)
+            if cid is None:
+                continue
+            if cid in self.curr_obs:
+                self.curr_obs[lid] = self.curr_obs.pop(cid)
+            st.match_lookup[cid] = lid
+
+        return True
+
+    def consistency_broken(self) -> bool:
+        """slam.cpp:1215-1232: any edge whose current relative pose deviates
+        from its constraint beyond the keyframe thresholds."""
+        st = self.state
+        for (n1, n2) in st.edge_set:
+            T = st.kfs[n2].T.rel_to(st.kfs[n1].T)
+            C = st.edges[(n1, n2)].C
+            d = T.rel_to(C)
+            if (rotation_angle(d.R) > self.cfg.kf_rot_thr
+                    or np.linalg.norm(d.t) > self.cfg.kf_tr_thr):
+                return True
+        return False
+
+    def pose_optimization(self):
+        """slam.cpp:1236-1313: whole-graph pose optimization."""
+        st = self.state
+        self.stop_watch.tick("pose_graph")
+
+        metric_embedding(st, st.last_kf_id())
+
+        edge_list = sorted(st.edge_set)
+        E = len(edge_list)
+        V = len(st.kfs)
+        if E == 0:
+            self.stop_watch.tock("pose_graph")
+            return
+
+        ei = np.array([e[0] for e in edge_list], np.int32)
+        ej = np.array([e[1] for e in edge_list], np.int32)
+        ctr = np.stack([st.edges[e].C.wt() for e in edge_list])
+        poses = np.stack([st.kfs[i].T.wt() for i in range(V)])
+
+        pose_free = np.ones(V, bool)
+        pose_free[ei[0]] = False  # gauge (po_problem.cpp:62-63)
+
+        out, _ = pose_graph_opt(
+            jnp.asarray(poses, self.dtype), jnp.asarray(ei),
+            jnp.asarray(ej), jnp.asarray(ctr, self.dtype),
+            jnp.ones(E, bool), jnp.asarray(pose_free),
+            max_iters=self.cfg.pgo_num_iter)
+        out = np.asarray(out, np.float64)
+
+        for i in range(V):
+            st.kfs[i].T = Pose.from_wt(out[i])
+        for (n1, n2) in st.edge_set:
+            st.edges[(n1, n2)].T = st.kfs[n2].T.rel_to(st.kfs[n1].T)
+            st.edges[(n2, n1)].T = st.kfs[n1].T.rel_to(st.kfs[n2].T)
+
+        self.stop_watch.tock("pose_graph")
+
+    # ------------------------------------------------------------------
+    # outputs
+    # ------------------------------------------------------------------
+
+    def trajectory(self) -> List[Pose]:
+        """Camera-to-world poses rooted at keyframe 0 (slam.cpp:1473-1481)."""
+        st = self.state
+        if not st.kfs:
+            return []
+        metric_embedding(st, 0)
+        return [st.kfs[i].T.inv() for i in sorted(st.kfs)]
+
+    def save_trajectory(self, path: str):
+        """Reference text format: i t_z -t_x -t_y w0 w1 w2
+        (slam.cpp:1489-1494)."""
+        from ..evalio.writers import write_trajectory
+        write_trajectory(path, self.trajectory())
+
+    def save_landmarks(self, path: str):
+        """Reference text format (slam.cpp:1431-1471)."""
+        from ..evalio.writers import write_landmarks
+        write_landmarks(path, self._landmark_world_segments(min_len=0.0))
+
+    def _landmark_world_segments(self, min_len=1.0, require_twice=True):
+        """World endpoint segments of mapped lines (slam.cpp:1508-1532)."""
+        st = self.state
+        segs = []
+        for lm in st.lms.values():
+            if require_twice and not lm.twice_observed:
+                continue
+            if abs(lm.tt[0] - lm.tt[1]) < min_len:
+                continue
+            p = lm.line[:3]
+            v = lm.line[3:]
+            n = np.cross(p, v)
+            p0 = np.cross(v, n) / (v @ v)
+            vn = v / np.linalg.norm(v)
+            Ti = st.kfs[lm.init_kfid].T.inv()
+            p1 = Ti.R @ (p0 + vn * lm.tt[0]) + Ti.t
+            p2 = Ti.R @ (p0 + vn * lm.tt[1]) + Ti.t
+            segs.append(np.concatenate([p1, p2]))
+        return segs
+
+    def post_processing(self) -> Dict[str, float]:
+        """Summary statistics (slam.cpp:1565-1632, main.cpp:84-89)."""
+        sw = self.stop_watch
+        n = max(self.num_frames_processed, 1)
+        return {
+            "proc_pose_estimation_mean_s": sw.stats("pose_estimation").mean,
+            "proc_local_ba_mean_s": sw.stats("local_ba").mean,
+            "proc_pose_graph_mean_s": sw.stats("pose_graph").mean,
+            "total_time_s": sw.elapsed(),
+            "num_keyframes": len(self.state.kfs),
+            "num_landmarks": len(self.state.lms),
+            "num_edges": len(self.state.edges) // 2,
+            "num_loop_closures": self.lc_cnt,
+            "avg_num_iterations": self.sum_num_iteration / n,
+            "avg_initial_cost": self.sum_init_cost / n,
+            "avg_final_cost": self.sum_final_cost / n,
+        }
+
+
+def _tt_to_pose(tt0, v, T: Pose):
+    """gc.cpp:125-138 (host)."""
+    if tt0[0] == 0 and tt0[1] == 0:
+        return np.zeros(2)
+    Ti = T.inv()
+    vn = v / np.linalg.norm(v)
+    offset = Ti.t @ vn
+    return tt0 - offset
+
+
+def _tt_from_pose(tt1, v, T: Pose):
+    """gc.cpp:140-150 (host)."""
+    Ti = T.inv()
+    vn = v / np.linalg.norm(v)
+    offset = Ti.t @ vn
+    return tt1 + offset

@@ -260,9 +260,22 @@ def av_to_orth(av):
     y = normalize(v)
     z = jnp.cross(x, y)
 
-    alpha = jnp.arctan2(y[..., 2], z[..., 2])
+    # The rotation [x y z] is decomposed as R = Rz(gamma) Ry(beta) Rx(alpha).
+    # The reference's extraction (gc.cpp:372-374) is the standard one and is
+    # degenerate at gimbal lock (x parallel to +-z axis, beta = +-pi/2) —
+    # measure-zero on real data but exact for axis-aligned synthetic lines,
+    # so we handle it: gamma := 0 and alpha from the remaining DoF.
     beta = jnp.arcsin(jnp.clip(-x[..., 2], -1.0, 1.0))
-    gamma = jnp.arctan2(x[..., 1], x[..., 0])
+    alpha_reg = jnp.arctan2(y[..., 2], z[..., 2])
+    gamma_reg = jnp.arctan2(x[..., 1], x[..., 0])
+
+    lock = jnp.abs(jnp.abs(x[..., 2]) - 1.0) < 1e-12
+    # R[0,1] = y[0], R[1,1] = y[1]; beta=+pi/2: alpha-gamma = atan2(y0, y1);
+    # beta=-pi/2: alpha+gamma = atan2(-y0, y1).
+    sign_term = jnp.where(x[..., 2] < 0, y[..., 0], -y[..., 0])
+    alpha_lock = jnp.arctan2(sign_term, y[..., 1])
+    alpha = jnp.where(lock, alpha_lock, alpha_reg)
+    gamma = jnp.where(lock, 0.0, gamma_reg)
 
     nn = jnp.linalg.norm(n, axis=-1)
     vn = jnp.linalg.norm(v, axis=-1)

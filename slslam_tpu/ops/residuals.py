@@ -86,7 +86,8 @@ def score_error(obs, R, t, line_av, baseline):
     cp, dv = line_av[..., :3], line_av[..., 3:]
 
     def one_cam(shift):
-        tc = t.at[..., 0].add(shift) if shift else t
+        # shift may be a traced scalar; build the offset arithmetically
+        tc = t + shift * jnp.array([1.0, 0.0, 0.0], dtype=t.dtype)
         cpc = jnp.einsum("...ij,...j->...i", R, cp) + tc
         dvc = jnp.einsum("...ij,...j->...i", R, dv)
         n = jnp.cross(cpc, dvc)

@@ -68,8 +68,15 @@ def _robust_weights(r, huber_delta, robust):
 
 
 def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
-                 cam_free_f, line_free_f, baseline, huber_delta, robust):
-    """Residuals, robustified cost, and all normal-equation blocks."""
+                 cam_free_f, line_free_f, baseline, huber_delta, robust,
+                 axis_name=None):
+    """Residuals, robustified cost, and all normal-equation blocks.
+
+    With `axis_name` set, observations are sharded over that mesh axis:
+    each shard assembles its partial blocks which are reduced with psum —
+    the distributed-BA pattern (SURVEY.md §5: per-block Schur reduction over
+    ICI collectives).  Parameters (cameras/lines) are replicated.
+    """
     C = cam_wt.shape[0]
     L = line_orth.shape[0]
 
@@ -106,6 +113,10 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
     gc = jnp.zeros((C, 6), r.dtype).at[obs_cam].add(gc_o)
     gl = jnp.zeros((L, 4), r.dtype).at[obs_line].add(gl_o)
     W = jnp.zeros((C, L, 6, 4), r.dtype).at[obs_cam, obs_line].add(Wb)
+
+    if axis_name is not None:
+        cost, Hcc, Hll, gc, gl, W = jax.lax.psum(
+            (cost, Hcc, Hll, gc, gl, W), axis_name)
 
     return cost, Hcc, Hll, gc, gl, W
 
@@ -156,11 +167,9 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
     return dc, dl, damp_quad, g_dot_d
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("robust", "max_iters"))
-def local_ba(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
-             cam_free, line_free, baseline, huber_delta,
-             robust=True, max_iters=10):
+def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
+                  cam_free, line_free, baseline, huber_delta,
+                  robust=True, max_iters=10, axis_name=None):
     """Run windowed local BA.  All shapes static (padded).
 
     Args:
@@ -187,7 +196,7 @@ def local_ba(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     def evaluate(cw, lo):
         return _eval_system(cw, lo, obs, obs_cam, obs_line, w_valid,
                             cam_free_f, line_free_f, baseline, huber_delta,
-                            robust)
+                            robust, axis_name=axis_name)
 
     cost0, Hcc, Hll, gc, gl, W = evaluate(cam_wt, line_orth)
 
@@ -253,3 +262,7 @@ def local_ba(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     out = jax.lax.while_loop(cond, body, state)
     stats = BAStats(out.it, cost0, out.cost)
     return out.cam, out.line, stats
+
+
+local_ba = jax.jit(local_ba_impl, static_argnames=("robust", "max_iters",
+                                                   "axis_name"))

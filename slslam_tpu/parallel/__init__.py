@@ -1,0 +1,10 @@
+"""Distributed execution over a jax.sharding.Mesh.
+
+The reference is single-process single-thread (SURVEY.md §2 #26); this
+subsystem is new capability: observation-sharded distributed bundle
+adjustment and edge-sharded distributed pose-graph optimization, with XLA
+collectives (psum over ICI) as the communication backend.
+"""
+
+from .dist_ba import dist_local_ba, make_mesh  # noqa: F401
+from .dist_pgo import dist_pose_graph_opt  # noqa: F401

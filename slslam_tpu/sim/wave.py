@@ -31,7 +31,7 @@ def look_at(pos, target, up=(0.0, 0.0, 1.0)):
     return Pose(R, -R @ pos)
 
 
-def wave_trajectory(num_frames=400, radius=9.0, center=(0.0, 5.0, 1.2),
+def wave_trajectory(num_frames=400, radius=6.0, center=(0.0, 5.0, 1.2),
                     height=1.5, wave_amp=0.4, wave_cycles=6, arc=1.5 * np.pi,
                     start_angle=-0.5 * np.pi):
     """List of world->camera Pose, orbiting `center` with a height wave."""
