@@ -15,6 +15,9 @@ from __future__ import annotations
 import heapq
 from typing import List, Tuple
 
+import numpy as np
+
+from .. import native
 from ..hostgeom import Pose
 from .state import MapState
 
@@ -23,8 +26,44 @@ def metric_embedding(state: MapState, root_id: int) -> List[Tuple[float, int]]:
     """Assign kfs[k].T for every keyframe reachable from root_id.
 
     Returns the embedding order [(accumulated_distance, kf_id), ...] sorted
-    by distance (the reference's me_map multimap).
+    by distance (the reference's me_map multimap).  Uses the native C++
+    walker (native/slslam_native.cpp) when built; the pure-Python walk below
+    is the reference implementation of the semantics.
     """
+    if native.available() and len(state.kfs) > 2:
+        out = _native_embedding(state, root_id)
+        if out is not None:
+            return out
+    return _python_embedding(state, root_id)
+
+
+def _native_embedding(state: MapState, root_id: int):
+    n = max(state.kfs) + 1
+    E = len(state.edges)
+    ei = np.empty(E, np.int32)
+    ej = np.empty(E, np.int32)
+    eT = np.empty((E, 12), np.float64)
+    for k, ((i, j), e) in enumerate(state.edges.items()):
+        ei[k] = i
+        ej[k] = j
+        eT[k, :9] = e.T.R.reshape(-1)
+        eT[k, 9:] = e.T.t
+    res = native.metric_embedding(n, ei, ej, eT, root_id)
+    if res is None:
+        return None
+    order, T_out, dist = res
+    out = []
+    for rank, kid in enumerate(order):
+        kid = int(kid)
+        kf = state.kfs.get(kid)
+        if kf is None:
+            continue
+        kf.T = Pose(T_out[kid, :9].reshape(3, 3), T_out[kid, 9:])
+        out.append((float(dist[rank]), kid))
+    return out
+
+
+def _python_embedding(state: MapState, root_id: int):
     state.kfs[root_id].T = Pose()
     heap: List[Tuple[float, int, int]] = [(0.0, 0, root_id)]
     embedded = {root_id}

@@ -66,6 +66,13 @@ class Slam:
         self.key = jax.random.PRNGKey(self.cfg.rseed)
         self.stop_watch = StopWatch()
 
+        # optional loop-closure subsystem (slslam_tpu.loopclosure): a
+        # PlaceRecognizer plus a descriptor source mapping
+        # (frame_id, [feature ids]) -> (F, 72) descriptors.  The released
+        # reference stubs this out (slam.cpp:1088-1104).
+        self.place_recognizer = None
+        self.descriptor_source = None
+
         # run statistics (reference m_sum_*, slam.cpp:37-39,949-952)
         self.sum_init_cost = 0.0
         self.sum_final_cost = 0.0
@@ -593,9 +600,31 @@ class Slam:
     # ------------------------------------------------------------------
 
     def place_recognized(self) -> bool:
-        """Stubbed false in the released reference (slam.cpp:1088-1104);
-        the loop-closure subsystem (slslam_tpu.loopclosure) plugs in here."""
-        return False
+        """Query the place-recognition backend for the new keyframe.
+
+        Mirrors the reference's intended (commented) flow
+        (slam.cpp:1088-1104): on a database hit, keep only matches whose
+        current feature is a VO inlier.  Returns False (the release
+        behavior) when no recognizer is attached.
+        """
+        if self.place_recognizer is None or self.descriptor_source is None:
+            return False
+        kf_id = self.state.last_kf_id()
+        feat_ids = sorted(self.curr_obs)
+        desc = self.descriptor_source(self.frame_id, feat_ids)
+        if desc is None or len(desc) != len(feat_ids):
+            return False
+        hit = self.place_recognizer.query_and_insert(kf_id, feat_ids, desc)
+        if hit is None:
+            return False
+        lc_kf_id, match_result = hit
+        self.match_result = {
+            cid: lid for cid, lid in match_result.items()
+            if cid in self.final_inliers}
+        if len(self.match_result) < self.cfg.ransac_min_sample:
+            return False
+        self.lc_kf_id = lc_kf_id
+        return True
 
     def loop_closure(self) -> bool:
         """slam.cpp:1108-1211: estimate the loop relative pose from the

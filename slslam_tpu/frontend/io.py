@@ -20,6 +20,11 @@ import numpy as np
 
 def parse_obs_file(path: str) -> Dict[int, np.ndarray]:
     """One file -> {feature_id: (8,) pixel coords}."""
+    from .. import native
+    if native.available():
+        out = native.parse_obs_file(path)
+        if out is not None:
+            return out
     try:
         data = np.loadtxt(path, ndmin=2)
     except (ValueError, OSError):

@@ -1,0 +1,202 @@
+"""Stereo + temporal line matching and track management.
+
+Completes the missing front-end: pairs detected segments across the
+rectified stereo pair and across time, maintaining track ids, and emits the
+engine's observation contract (feature_id -> 8 normalized endpoint coords,
+left pair first; see slam.cpp:85-135).
+
+Matching model (rectified stereo):
+  * stereo: candidate pairs must have similar direction, overlapping
+    vertical extent, and positive disparity within bounds; scored by
+    descriptor similarity + geometric consistency, resolved greedily
+    one-to-one.
+  * temporal: descriptor mutual nearest neighbor gated by endpoint motion,
+    carrying track ids forward; unmatched detections open new tracks.
+
+All descriptor similarity matrices are single device matmuls.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import CameraConfig
+from .descriptor import describe
+from .detector import LineSegmentDetector, image_gradients
+
+
+def _seg_angle(s):
+    return np.arctan2(s[..., 3] - s[..., 1], s[..., 2] - s[..., 0])
+
+
+def _angdiff(a, b):
+    d = np.abs(a - b) % np.pi          # direction is mod pi
+    return np.minimum(d, np.pi - d)
+
+
+def _overlap_y(a, b):
+    a0, a1 = sorted((a[1], a[3]))
+    b0, b1 = sorted((b[1], b[3]))
+    inter = min(a1, b1) - max(a0, b0)
+    union = max(a1, b1) - min(a0, b0)
+    return inter / union if union > 0 else -1.0
+
+
+@dataclasses.dataclass
+class Track:
+    track_id: int
+    seg_left: np.ndarray
+    seg_right: np.ndarray
+    desc: np.ndarray
+    last_frame: int
+
+
+class StereoLineMatcher:
+    def __init__(self, camera: Optional[CameraConfig] = None,
+                 detector: Optional[LineSegmentDetector] = None,
+                 max_disparity: float = 150.0,
+                 min_desc_sim: float = 0.7,
+                 max_endpoint_motion: float = 60.0,
+                 max_track_gap: int = 2):
+        self.cam = camera or CameraConfig()
+        self.detector = detector or LineSegmentDetector()
+        self.max_disparity = max_disparity
+        self.min_desc_sim = min_desc_sim
+        self.max_motion = max_endpoint_motion
+        self.max_track_gap = max_track_gap
+        self.tracks: Dict[int, Track] = {}
+        self._next_id = 0
+
+    # -- stereo pairing ----------------------------------------------------
+
+    def _stereo_pairs(self, segs_l, segs_r, desc_l, desc_r):
+        pairs = []
+        if len(segs_l) == 0 or len(segs_r) == 0:
+            return pairs
+        sim = desc_l @ desc_r.T
+        ang_l = _seg_angle(segs_l)
+        ang_r = _seg_angle(segs_r)
+        cands = []
+        for i in range(len(segs_l)):
+            for j in range(len(segs_r)):
+                if _angdiff(ang_l[i], ang_r[j]) > 0.1:
+                    continue
+                if _overlap_y(segs_l[i], segs_r[j]) < 0.5:
+                    continue
+                # disparity at segment midpoints: left x > right x
+                dx = (segs_l[i][0] + segs_l[i][2]
+                      - segs_r[j][0] - segs_r[j][2]) / 2.0
+                if dx < 0.0 or dx > self.max_disparity:
+                    continue
+                if sim[i, j] < self.min_desc_sim:
+                    continue
+                cands.append((-(sim[i, j]), i, j))
+        cands.sort()
+        used_l, used_r = set(), set()
+        for _, i, j in cands:
+            if i in used_l or j in used_r:
+                continue
+            used_l.add(i)
+            used_r.add(j)
+            pairs.append((i, j))
+        return pairs
+
+    # -- temporal association ----------------------------------------------
+
+    def process(self, frame_id: int, img_left: np.ndarray,
+                img_right: np.ndarray) -> Dict[int, np.ndarray]:
+        """Stereo frame -> {track_id: (8,) pixel observation}."""
+        import jax.numpy as jnp
+
+        segs_l = self.detector.detect(img_left)
+        segs_r = self.detector.detect(img_right)
+
+        mag_l, ang_l = image_gradients(jnp.asarray(img_left, jnp.float32))
+        mag_r, ang_r = image_gradients(jnp.asarray(img_right, jnp.float32))
+        desc_l = describe(np.asarray(mag_l), np.asarray(ang_l), segs_l)
+        desc_r = describe(np.asarray(mag_r), np.asarray(ang_r), segs_r)
+
+        pairs = self._stereo_pairs(segs_l, segs_r, desc_l, desc_r)
+        if not pairs:
+            self._expire(frame_id)
+            return {}
+
+        cur_left = np.stack([segs_l[i] for i, _ in pairs])
+        cur_right = np.stack([segs_r[j] for _, j in pairs])
+        cur_desc = np.stack([desc_l[i] for i, _ in pairs])
+
+        # temporal: geometry-first association (descriptors alias badly on
+        # texture-poor scenes — parallel lines produce near-identical
+        # gradient histograms), descriptor similarity as a bonus term
+        live = [t for t in self.tracks.values()
+                if frame_id - t.last_frame <= self.max_track_gap]
+        out: Dict[int, np.ndarray] = {}
+        assigned = set()
+        if live:
+            prev_desc = np.stack([t.desc for t in live])
+            sim = cur_desc @ prev_desc.T
+            prev_segs = np.stack([t.seg_left for t in live])
+            cur_ang = _seg_angle(cur_left)
+            prev_ang = _seg_angle(prev_segs)
+            cur_mid = (cur_left[:, 0:2] + cur_left[:, 2:4]) / 2
+            prev_mid = (prev_segs[:, 0:2] + prev_segs[:, 2:4]) / 2
+
+            cands = []
+            for a in range(len(cur_left)):
+                for b in range(len(live)):
+                    if _angdiff(cur_ang[a], prev_ang[b]) > 0.15:
+                        continue
+                    # perpendicular distance between the two lines at the
+                    # previous midpoint (robust to sliding endpoints)
+                    u = np.array([np.cos(cur_ang[a]), np.sin(cur_ang[a])])
+                    dm = prev_mid[b] - cur_mid[a]
+                    perp = abs(u[0] * dm[1] - u[1] * dm[0])
+                    slide = np.linalg.norm(dm)
+                    if perp > 15.0 or slide > self.max_motion:
+                        continue
+                    score = (perp / 15.0 + 0.3 * slide / self.max_motion
+                             - 0.3 * sim[a, b])
+                    cands.append((score, a, b))
+            cands.sort()
+            used_b = set()
+            for _, a, b in cands:
+                if a in assigned or b in used_b:
+                    continue
+                assigned.add(a)
+                used_b.add(b)
+                t = live[b]
+                t.seg_left = cur_left[a]
+                t.seg_right = cur_right[a]
+                t.desc = cur_desc[a]
+                t.last_frame = frame_id
+                out[t.track_id] = self._obs(cur_left[a], cur_right[a])
+
+        for a in range(len(pairs)):
+            if a in assigned:
+                continue
+            tid = self._next_id
+            self._next_id += 1
+            self.tracks[tid] = Track(tid, cur_left[a], cur_right[a],
+                                     cur_desc[a], frame_id)
+            out[tid] = self._obs(cur_left[a], cur_right[a])
+
+        self._expire(frame_id)
+        return out
+
+    def _expire(self, frame_id):
+        dead = [tid for tid, t in self.tracks.items()
+                if frame_id - t.last_frame > self.max_track_gap]
+        for tid in dead:
+            del self.tracks[tid]
+
+    @staticmethod
+    def _obs(seg_l, seg_r) -> np.ndarray:
+        """Engine observation: left endpoints then right endpoints, with the
+        right segment's endpoints ordered consistently with the left's."""
+        # order right endpoints to match left vertical ordering
+        if (seg_l[1] - seg_l[3]) * (seg_r[1] - seg_r[3]) < 0:
+            seg_r = np.array([seg_r[2], seg_r[3], seg_r[0], seg_r[1]])
+        return np.concatenate([seg_l, seg_r])

@@ -1,0 +1,109 @@
+"""ctypes bindings for the native runtime library (native/slslam_native.cpp).
+
+Auto-builds with g++ on first use if the shared library is missing (a
+source-only checkout stays usable); all entry points have pure-Python
+fallbacks in their calling modules, so import failures degrade gracefully.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_LIB_PATH = os.path.join(_REPO_ROOT, "native", "libslslam_native.so")
+_SRC_PATH = os.path.join(_REPO_ROOT, "native", "slslam_native.cpp")
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH,
+                 _SRC_PATH], check=True, capture_output=True, timeout=120)
+        except Exception:
+            return None
+    if not os.path.exists(_LIB_PATH):
+        return None
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+    except OSError:
+        return None
+
+    lib.slslam_parse_obs_file.restype = ctypes.c_int
+    lib.slslam_parse_obs_file.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
+    lib.slslam_metric_embedding.restype = ctypes.c_int
+    lib.slslam_metric_embedding.argtypes = [
+        ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_double),
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def parse_obs_file(path: str, max_rows: int = 4096
+                   ) -> Optional[Dict[int, np.ndarray]]:
+    """Native loader; returns None if the library is unavailable or the
+    file cannot be opened."""
+    lib = _load()
+    if lib is None:
+        return None
+    ids = np.zeros(max_rows, np.int32)
+    obs = np.zeros((max_rows, 8), np.float64)
+    n = lib.slslam_parse_obs_file(
+        path.encode(), ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        obs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_rows)
+    if n < 0:
+        return None
+    return {int(ids[k]): obs[k].copy() for k in range(n)}
+
+
+def metric_embedding(n_kfs: int, edge_i: np.ndarray, edge_j: np.ndarray,
+                     edge_T: np.ndarray, root: int
+                     ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Native graph walk.  edge_T: (E, 12) row-major (R, t) per directed
+    edge.  Returns (order, T_out (n,12), valid) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    edge_i = np.ascontiguousarray(edge_i, np.int32)
+    edge_j = np.ascontiguousarray(edge_j, np.int32)
+    edge_T = np.ascontiguousarray(edge_T, np.float64)
+    order = np.zeros(n_kfs, np.int32)
+    T_out = np.zeros((n_kfs, 12), np.float64)
+    valid = np.zeros(n_kfs, np.uint8)
+    dist = np.zeros(n_kfs, np.float64)
+    n = lib.slslam_metric_embedding(
+        n_kfs, len(edge_i),
+        edge_i.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        edge_j.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        edge_T.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        root,
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int)),
+        T_out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        valid.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        dist.ctypes.data_as(ctypes.POINTER(ctypes.c_double)))
+    return order[:n], T_out, dist[:n]

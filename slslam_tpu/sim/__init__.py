@@ -9,4 +9,6 @@ end-to-end against known ground truth.
 
 from .house import house_segments
 from .render import StereoLineRenderer
+from .tracks import SegmentDescriptorSource, TrackIdAssigner
+from .village import village_segments, village_trajectory
 from .wave import wave_trajectory
