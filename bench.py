@@ -40,12 +40,15 @@ def main():
     # Match the reference sim's cadence: every frame a keyframe (the
     # committed sim trajectories have one row per frame).  Tiny KF
     # thresholds force that; 0.2 px noise matches the headline row.
-    num_frames = 150
-    warmup_frames = 30
+    # Single fixed capacity buckets: exactly one compile per kernel type
+    # (remote/tunneled TPU dispatch makes compiles expensive).
+    num_frames = 110
+    warmup_frames = 25
     cfg = dataclasses.replace(
         SlamConfig(),
         compute_dtype="float64" if platform == "cpu" else "float32",
         kf_rot_thr=1e-9, kf_tr_thr=1e-9,
+        obs_buckets=(2048,), cam_buckets=(48,), line_buckets=(128,),
     )
     segs = house_segments()
     poses_gt = wave_trajectory(num_frames=400)[:num_frames]

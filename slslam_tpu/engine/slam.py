@@ -26,21 +26,12 @@ from ..config import SlamConfig, bucket_for
 from ..hostgeom import Pose, angle_normvec, line_from_pose, line_to_pose, \
     normalize, rotation_angle, skew
 from ..ops.pose_graph import pose_graph_opt
-from ..ops.ransac import ransac_vo
-from ..ops.residuals import score_error_hyp_obs
 from ..ops.schur_ba import local_ba
 from ..ops.triangulate import triangulate_lines
+from ..ops.vo_pipeline import vo_pipeline
 from ..utils.stopwatch import StopWatch
 from .embedding import metric_embedding
 from .state import Edge, Keyframe, Landmark, MapState
-
-
-@jax.jit
-def _score_one_motion(obs, lines, wt, baseline):
-    """Reprojection errors of all observations under one motion."""
-    R = geo.rodrigues(wt[None, :3])
-    t = wt[None, 3:]
-    return score_error_hyp_obs(obs, R, t, lines, baseline)[0]
 
 
 class Slam:
@@ -167,10 +158,15 @@ class Slam:
         new_ids = [fid for fid in self.curr_obs if fid not in st.lms]
         new_set = set(new_ids)
         if new_ids:
-            O = np.stack([self.curr_obs[f] for f in new_ids])
+            # pad to a capacity bucket: keeps the jit cache to a handful of
+            # shapes across the whole run
+            Nb = bucket_for(len(new_ids), self.cfg.obs_buckets)
+            O = np.zeros((Nb, 8))
+            O[:len(new_ids)] = np.stack([self.curr_obs[f] for f in new_ids])
             lines = np.asarray(triangulate_lines(
                 jnp.asarray(O, self.dtype), self.cfg.camera.baseline,
-                inverse_depth=self.cfg.inverse_depth), np.float64)
+                inverse_depth=self.cfg.inverse_depth),
+                np.float64)[:len(new_ids)]
             for fid, line in zip(new_ids, lines):
                 lm = Landmark(line=line, init_kfid=new_kfid)
                 lm.tt = np.zeros(2)
@@ -222,75 +218,27 @@ class Slam:
             valid[k] = True
 
         self.key, sub = jax.random.split(self.key)
-        res = ransac_vo(
+        res = vo_pipeline(
             jnp.asarray(o0, self.dtype), jnp.asarray(o1, self.dtype),
             jnp.asarray(ln, self.dtype), jnp.asarray(valid), sub,
-            cfg.camera.baseline, cfg.error_thr,
+            cfg.camera.baseline, cfg.error_thr, cfg.huber_delta,
             max_t_norm=cfg.ransac_max_t_norm,
             num_hyp=cfg.ransac_num_hypotheses,
-            sample_size=cfg.ransac_min_sample)
+            sample_size=cfg.ransac_min_sample,
+            robust=cfg.robust, max_iters=cfg.max_num_iter)
+        # one fused device->host fetch for the whole VO result
+        best_score, wt, errors = jax.device_get(
+            (res.ransac_score, res.wt, res.final_errors))
 
-        best_score = int(res.best_score)
-        if best_score < cfg.ransac_min_sample:
+        if int(best_score) < cfg.ransac_min_sample:
             self.stop_watch.tock("pose_estimation")
             return None
 
-        inlier_ids = [comm[k] for k in range(N) if bool(res.inliers[k])]
-        wt = self.motion_only_ba(obs0, obs1, lines, np.asarray(res.best_wt),
-                                 inlier_ids)
-
-        # final inlier set under the polished motion (slam.cpp:305-314)
-        errors = np.asarray(_score_one_motion(
-            jnp.asarray(o1, self.dtype), jnp.asarray(ln, self.dtype),
-            jnp.asarray(wt, self.dtype), cfg.camera.baseline))
         self.final_inliers = {
             comm[k] for k in range(N) if errors[k] < cfg.error_thr}
 
         self.stop_watch.tock("pose_estimation")
-        return Pose.from_wt(wt)
-
-    def motion_only_ba(self, obs0, obs1, lines, wt0, inlier_ids):
-        """slam.cpp:578-675: polish the RANSAC motion with a 2-camera BA
-        (camera 1 = identity fixed, all lines fixed)."""
-        cfg = self.cfg
-        M = len(inlier_ids)
-        if M == 0:
-            return wt0
-
-        line_av = np.stack([lines[f] for f in inlier_ids])
-        line_orth = np.asarray(geo.av_to_orth(jnp.asarray(line_av)))
-
-        O = 2 * M
-        Ob = bucket_for(O, cfg.obs_buckets)
-        Lb = bucket_for(M, cfg.line_buckets)
-        obs = np.zeros((Ob, 8))
-        ocam = np.zeros(Ob, np.int32)
-        olin = np.zeros(Ob, np.int32)
-        valid = np.zeros(Ob, bool)
-        for k, fid in enumerate(inlier_ids):
-            obs[2 * k] = obs1[fid]
-            ocam[2 * k] = 0
-            olin[2 * k] = k
-            obs[2 * k + 1] = obs0[fid]
-            ocam[2 * k + 1] = 1
-            olin[2 * k + 1] = k
-            valid[2 * k:2 * k + 2] = True
-
-        lorth = np.zeros((Lb, 4))
-        lorth[:, 3] = 0.5  # benign theta for padding (avoids 1/sin(0))
-        lorth[:M] = line_orth
-
-        cam = np.zeros((4, 6))
-        cam[0] = wt0
-        cam_free = np.array([True, False, False, False])
-
-        cam_out, _, _ = local_ba(
-            jnp.asarray(cam, self.dtype), jnp.asarray(lorth, self.dtype),
-            jnp.asarray(obs, self.dtype), jnp.asarray(ocam),
-            jnp.asarray(olin), jnp.asarray(valid), jnp.asarray(cam_free),
-            jnp.zeros(Lb, bool), cfg.camera.baseline, cfg.huber_delta,
-            robust=cfg.robust, max_iters=cfg.max_num_iter)
-        return np.asarray(cam_out)[0]
+        return Pose.from_wt(np.asarray(wt, np.float64))
 
     def check_keyframe_motion(self) -> bool:
         """slam.cpp:223-240: VO against the previous keyframe; KF iff the
@@ -466,12 +414,15 @@ class Slam:
         valid = np.zeros(Ob, bool)
         valid[:O] = True
 
-        cam_out, line_out, stats = local_ba(
+        cam_dev, line_dev, stats_dev = local_ba(
             jnp.asarray(cam_p, self.dtype), jnp.asarray(lorth, self.dtype),
             jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
             jnp.asarray(olin), jnp.asarray(valid), jnp.asarray(cam_free),
             jnp.asarray(line_free), cfg.camera.baseline, cfg.huber_delta,
             robust=cfg.robust, max_iters=cfg.max_num_iter)
+        # single fused device->host fetch
+        cam_out, line_out, stats = jax.device_get(
+            (cam_dev, line_dev, stats_dev))
         cam_out = np.asarray(cam_out, np.float64)
         line_out = np.asarray(line_out, np.float64)
 
