@@ -34,6 +34,8 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     p.add_argument("--platform", default=None,
                    help="jax platform override (cpu / axon / tpu)")
     p.add_argument("--out", default=None, help="output directory")
+    p.add_argument("--plot", action="store_true",
+                   help="write a map.png rendering into --out")
 
 
 def _make_config(args):
@@ -73,6 +75,12 @@ def _finish(slam, args, gt_rows=None):
                        delimiter="\t")
         with open(os.path.join(args.out, "stats.json"), "w") as f:
             json.dump(stats, f, indent=2)
+        if getattr(args, "plot", False):
+            from .viz import plot_map
+            plot_map(slam.trajectory(),
+                     slam._landmark_world_segments(min_len=0.5),
+                     os.path.join(args.out, "map.png"),
+                     gt_trajectory=gt_rows)
 
     for k, v in stats.items():
         print(f"  {k}: {v}")

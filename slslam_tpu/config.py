@@ -61,6 +61,10 @@ class SlamConfig:
     # Solver flags (reference: src/main.cpp:22-27, src/lba_problem.cpp:26-43).
     ba_window_size: int = 10
     max_num_iter: int = 10
+    # 4-DoF line parameterization used by the solvers: "orth" (production,
+    # gc.cpp:361-460), "aid" or "asd" (the study's alternatives,
+    # gc.cpp:188-356; see BASELINE.md §1)
+    line_param: str = "orth"
     robust: bool = True                  # Huber loss, delta = 1/focal_length
     rseed: int = 4
     pgo_num_iter: int = 10               # src/slam.cpp:1283
@@ -79,6 +83,9 @@ class SlamConfig:
     obs_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 4096)
     cam_buckets: tuple = (4, 8, 16, 32, 64, 128)
     line_buckets: tuple = (32, 64, 128, 256, 512, 1024, 2048)
+    # correspondence count for the VO kernel (common features between two
+    # frames — much smaller than the BA observation pool)
+    corr_buckets: tuple = (64, 128, 256, 512)
 
     @property
     def error_thr(self) -> float:

@@ -34,6 +34,34 @@ from .embedding import metric_embedding
 from .state import Edge, Keyframe, Landmark, MapState
 
 
+_LINE_ENCODERS = {"orth": geo.av_to_orth, "aid": geo.av_to_aid,
+                  "asd": geo.av_to_asd}
+_LINE_DECODERS = {"orth": geo.orth_to_av, "aid": geo.aid_to_av,
+                  "asd": geo.asd_to_av}
+
+
+def _encode_lines_host(line_av, line_param):
+    """(N, 6) -> (N, 4) on the host (no device round trip) when a NumPy
+    mirror exists; falls back to the jnp implementation otherwise."""
+    import slslam_tpu.hostgeom as hg
+    if line_param == "orth":
+        return hg.av_to_orth_np(line_av)
+    if line_param == "aid":
+        return hg.av_to_aid_np(line_av)
+    return np.asarray(_LINE_ENCODERS[line_param](jnp.asarray(line_av)),
+                      np.float64)
+
+
+def _decode_lines_host(line_p4, line_param):
+    import slslam_tpu.hostgeom as hg
+    if line_param == "orth":
+        return hg.orth_to_av_np(line_p4)
+    if line_param == "aid":
+        return hg.aid_to_av_np(line_p4)
+    return np.asarray(_LINE_DECODERS[line_param](jnp.asarray(line_p4)),
+                      np.float64)
+
+
 class Slam:
     """The engine. One instance per sequence (reference SLAM ctor,
     slam.cpp:30-40)."""
@@ -205,7 +233,7 @@ class Slam:
             lines[fid] = line_from_pose(lm.line, st.kfs[lm.init_kfid].T)
 
         N = len(comm)
-        Nb = bucket_for(N, cfg.obs_buckets)
+        Nb = bucket_for(N, cfg.corr_buckets)
         o0 = np.zeros((Nb, 8))
         o1 = np.zeros((Nb, 8))
         ln = np.zeros((Nb, 6))
@@ -225,7 +253,8 @@ class Slam:
             max_t_norm=cfg.ransac_max_t_norm,
             num_hyp=cfg.ransac_num_hypotheses,
             sample_size=cfg.ransac_min_sample,
-            robust=cfg.robust, max_iters=cfg.max_num_iter)
+            robust=cfg.robust, max_iters=cfg.max_num_iter,
+            line_param=cfg.line_param)
         # one fused device->host fetch for the whole VO result
         best_score, wt, errors = jax.device_get(
             (res.ransac_score, res.wt, res.final_errors))
@@ -295,7 +324,9 @@ class Slam:
         st = self.state
         cfg = self.cfg
 
+        self.stop_watch.tick("embedding")
         order = metric_embedding(st, st.last_kf_id())
+        self.stop_watch.tock("embedding")
         self.ba_kfs = {}
         for rank, (_, kid) in enumerate(order):
             if rank >= 2 * cfg.ba_window_size:
@@ -324,12 +355,15 @@ class Slam:
                 st.edges[(n2, n1)].C = Ti.copy()
 
         self.delete_lms()
+        self.stop_watch.tick("endpoints")
         self.extend_end_points()
+        self.stop_watch.tock("endpoints")
 
     def _bundle_adjustment(self):
         """slam.cpp:795-975: pack the window problem, solve, write back."""
         st = self.state
         cfg = self.cfg
+        self.stop_watch.tick("ba_pack")
 
         # free cameras: window rank < W, registered in ascending kf id
         kfid_map: Dict[int, int] = {}
@@ -348,9 +382,19 @@ class Slam:
 
         num_free = len(vec_kfs)
 
-        obs_rows: List[np.ndarray] = []
-        obs_cam: List[int] = []
-        obs_line: List[int] = []
+        # vectorized observation gathering: per-landmark NumPy masks
+        # instead of a per-observation Python loop (hot on large windows)
+        max_kf = st.last_kf_id()
+        in_window = np.zeros(max_kf + 1, bool)
+        for kid in self.ba_kfs:
+            in_window[kid] = True
+        kfidx_of = np.full(max_kf + 1, -1, np.int64)
+        for kid, ci in kfid_map.items():
+            kfidx_of[kid] = ci
+
+        obs_chunks: List[np.ndarray] = []
+        cam_chunks: List[np.ndarray] = []
+        line_chunks: List[np.ndarray] = []
         cam_fixed_flags: List[bool] = [False] * num_free
         line_ids: List[int] = []
 
@@ -360,34 +404,43 @@ class Slam:
             lm = st.lms[fid]
             lm.twice_observed = True
             lm.ba_updated = True
-            line_idx = len(line_ids)
-            used = False
-            for (obs_kfid, o) in lm.obs_vec:
-                if obs_kfid not in self.ba_kfs:
-                    continue
-                ci = kfid_map.get(obs_kfid)
-                if ci is None:
-                    # out-of-free-window observer appended as fixed camera
-                    ci = len(vec_kfs)
-                    kfid_map[obs_kfid] = ci
-                    vec_kfs.append(obs_kfid)
-                    cam_wt.append(st.kfs[obs_kfid].T.wt())
-                    cam_fixed_flags.append(True)
-                obs_rows.append(o)
-                obs_cam.append(ci)
-                obs_line.append(line_idx)
-                used = True
-            if used:
-                line_ids.append(fid)
-            # note: lines seen >=2 in the window always have >=2 obs here
+            kfids, obs_arr = lm.obs_arrays()
+            mask = in_window[kfids]
+            if not mask.any():
+                continue
+            sel_kfids = kfids[mask]
+            # register out-of-free-window observers as fixed cameras
+            for kid in np.unique(sel_kfids[kfidx_of[sel_kfids] < 0]):
+                ci = len(vec_kfs)
+                kfid_map[int(kid)] = ci
+                kfidx_of[kid] = ci
+                vec_kfs.append(int(kid))
+                cam_wt.append(st.kfs[int(kid)].T.wt())
+                cam_fixed_flags.append(True)
+            obs_chunks.append(obs_arr[mask])
+            cam_chunks.append(kfidx_of[sel_kfids])
+            line_chunks.append(np.full(mask.sum(), len(line_ids), np.int64))
+            line_ids.append(fid)
 
         if not line_ids or num_free == 0:
             return
 
-        line_av = np.stack([
-            line_from_pose(st.lms[f].line, st.kfs[st.lms[f].init_kfid].T)
-            for f in line_ids])
-        line_orth = np.asarray(geo.av_to_orth(jnp.asarray(line_av)))
+        # batched line fetch into the embedding frame + host-side encode
+        Ti_cache = {}
+        line_av = np.empty((len(line_ids), 6))
+        for n, fid in enumerate(line_ids):
+            lm = st.lms[fid]
+            Ti = Ti_cache.get(lm.init_kfid)
+            if Ti is None:
+                Ti = st.kfs[lm.init_kfid].T.inv()
+                Ti_cache[lm.init_kfid] = Ti
+            line_av[n, :3] = Ti.R @ lm.line[:3] + Ti.t
+            line_av[n, 3:] = Ti.R @ lm.line[3:]
+        line_orth = _encode_lines_host(line_av, cfg.line_param)
+
+        obs_rows = np.concatenate(obs_chunks)
+        obs_cam = np.concatenate(cam_chunks)
+        obs_line = np.concatenate(line_chunks)
 
         C, L, O = len(vec_kfs), len(line_ids), len(obs_rows)
         Cb = bucket_for(C, cfg.cam_buckets)
@@ -406,7 +459,7 @@ class Slam:
         line_free[:L] = True
 
         obs_p = np.zeros((Ob, 8))
-        obs_p[:O] = np.stack(obs_rows)
+        obs_p[:O] = obs_rows
         ocam = np.zeros(Ob, np.int32)
         ocam[:O] = obs_cam
         olin = np.zeros(Ob, np.int32)
@@ -414,12 +467,14 @@ class Slam:
         valid = np.zeros(Ob, bool)
         valid[:O] = True
 
+        self.stop_watch.tock("ba_pack")
         cam_dev, line_dev, stats_dev = local_ba(
             jnp.asarray(cam_p, self.dtype), jnp.asarray(lorth, self.dtype),
             jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
             jnp.asarray(olin), jnp.asarray(valid), jnp.asarray(cam_free),
             jnp.asarray(line_free), cfg.camera.baseline, cfg.huber_delta,
-            robust=cfg.robust, max_iters=cfg.max_num_iter)
+            robust=cfg.robust, max_iters=cfg.max_num_iter,
+            line_param=cfg.line_param)
         # single fused device->host fetch
         cam_out, line_out, stats = jax.device_get(
             (cam_dev, line_dev, stats_dev))
@@ -434,12 +489,15 @@ class Slam:
         # init-KF poses) — matching the reference order (slam.cpp:957-972)
         for ci, kid in enumerate(vec_kfs):
             st.kfs[kid].T = Pose.from_wt(cam_out[ci])
-        line_av_out = np.asarray(
-            geo.orth_to_av(jnp.asarray(line_out[:L])), np.float64)
+        line_av_out = _decode_lines_host(line_out[:L], cfg.line_param)
+        T_cache = {}
         for li, fid in enumerate(line_ids):
             lm = st.lms[fid]
-            lm.line = line_to_pose(line_av_out[li],
-                                   st.kfs[lm.init_kfid].T)
+            T = T_cache.get(lm.init_kfid)
+            if T is None:
+                T = st.kfs[lm.init_kfid].T
+                T_cache[lm.init_kfid] = T
+            lm.line = line_to_pose(line_av_out[li], T)
 
     # ------------------------------------------------------------------
     # landmark lifecycle
@@ -471,80 +529,111 @@ class Slam:
 
     def extend_end_points(self):
         """slam.cpp:979-1084: maintain finite drawable endpoint intervals
-        tt on the infinite landmark lines."""
+        tt on the infinite landmark lines.  Fully vectorized over the
+        active (BA-updated, currently visible) landmark set.
+
+        The reference's Plücker-matrix intersection Lc @ pi (slam.cpp:
+        1008-1024) simplifies: for pi = (n, 0) (a plane through the
+        camera center), Lc @ pi = (nc x n, -vc . n).
+        """
         st = self.state
         thr = self.cfg.extension_length
-        for lm in st.lms.values():
-            if not lm.ba_updated or not lm.currently_visible:
-                continue
+        active = [lm for lm in st.lms.values()
+                  if lm.ba_updated and lm.currently_visible]
+        for lm in active:
             lm.ba_updated = False
+        if not active:
+            return
+        M = len(active)
+        line = np.stack([lm.line for lm in active])      # init-KF frame
+        pvn = np.stack([lm.pvn for lm in active])
+        tt_cur = np.stack([lm.tt for lm in active])
+        obs = np.stack([lm.obs_vec[-1][1] for lm in active])
 
-            cvn = normalize(lm.line[3:])
-            if angle_normvec(cvn, lm.pvn) > self.cfg.line_vn_angle_thr:
-                lm.pvn = cvn
-                lm.tt = np.zeros(2)
+        def nrm(v):
+            n = np.linalg.norm(v, axis=-1, keepdims=True)
+            return np.where(n > 0, v / np.where(n > 0, n, 1.0), v)
 
-            init_pose = st.kfs[lm.init_kfid].T
-            relative_pose = init_pose.inv()
-            line2 = line_from_pose(lm.line, init_pose)
+        # direction-change reset (slam.cpp:990-996)
+        cvn = nrm(line[:, 3:])
+        ang = np.arccos(np.clip(np.sum(cvn * pvn, axis=1), -1.0, 1.0))
+        reset = ang > self.cfg.line_vn_angle_thr
+        pvn_new = np.where(reset[:, None], cvn, pvn)
+        tt_cur = np.where(reset[:, None], 0.0, tt_cur)
 
-            pc, vc = line2[:3], line2[3:]
-            nc = np.cross(pc, vc)
-            Lc = np.zeros((4, 4))
-            Lc[:3, :3] = skew(nc)
-            Lc[:3, 3] = vc
-            Lc[3, :3] = -vc
-            obs_kfid, o = lm.obs_vec[-1]
-            p11 = np.array([o[0], o[1], 1.0])
-            p21 = np.array([o[2], o[3], 1.0])
-            ln = np.cross(p11, p21)[:2]
-            n_ln = np.linalg.norm(ln)
-            if n_ln == 0:
-                continue
-            ln = ln / n_ln
-            p12 = np.array([p11[0] + ln[0], p11[1] + ln[1], 1.0])
-            p22 = np.array([p21[0] + ln[0], p21[1] + ln[1], 1.0])
-            cam = np.zeros(3)
+        # init poses (world->init-cam in the current embedding)
+        Rk = np.empty((M, 3, 3))
+        tk = np.empty((M, 3))
+        cache = {}
+        for i, lm in enumerate(active):
+            P = cache.get(lm.init_kfid)
+            if P is None:
+                P = st.kfs[lm.init_kfid].T
+                cache[lm.init_kfid] = P
+            Rk[i] = P.R
+            tk[i] = P.t
 
-            def ppp(x1, x2, x3):
-                return np.concatenate([
-                    np.cross(x1 - x3, x2 - x3),
-                    [-x3 @ np.cross(x1, x2)]])
+        # line in the embedding frame (line_from_pose batched)
+        Rki = np.transpose(Rk, (0, 2, 1))
+        tki = -np.einsum("mij,mj->mi", Rki, tk)
+        pc = np.einsum("mij,mj->mi", Rki, line[:, :3]) + tki
+        vc = np.einsum("mij,mj->mi", Rki, line[:, 3:])
+        nc = np.cross(pc, vc)
 
-            e1 = Lc @ ppp(cam, p11, p12)
-            e2 = Lc @ ppp(cam, p21, p22)
+        one = np.ones((M, 1))
+        p11 = np.concatenate([obs[:, 0:2], one], axis=1)
+        p21 = np.concatenate([obs[:, 2:4], one], axis=1)
+        ln = np.cross(p11, p21)[:, :2]
+        n_ln = np.linalg.norm(ln, axis=1)
+        ok = n_ln > 0
+        ln = ln / np.maximum(n_ln, 1e-300)[:, None]
+        zero = np.zeros((M, 1))
+        p12 = p11 + np.concatenate([ln, zero], axis=1)
+        p22 = p21 + np.concatenate([ln, zero], axis=1)
 
-            vv = vc @ vc
-            p0 = np.cross(vc, nc) / vv
-            vn = vc / np.sqrt(vv)
+        # planes through the camera center: pi = (p_a x p_b, 0)
+        n1 = np.cross(p11, p12)
+        n2 = np.cross(p21, p22)
+        e1_xyz = np.cross(nc, n1)
+        e1_w = -np.sum(vc * n1, axis=1)
+        e2_xyz = np.cross(nc, n2)
+        e2_w = -np.sum(vc * n2, axis=1)
 
-            p0_dist = np.linalg.norm(p0)
-            if p0_dist > thr:
-                continue
-            if abs(e1[3]) < 1e-12 or abs(e2[3]) < 1e-12:
-                continue
-            pc1 = e1[:3] / e1[3]
-            pc2 = e2[:3] / e2[3]
-            if pc1[2] < 0 or pc2[2] < 0:
-                continue
+        vv = np.sum(vc * vc, axis=1)
+        p0 = np.cross(vc, nc) / vv[:, None]
+        vnn = vc / np.sqrt(vv)[:, None]
+        p0_dist = np.linalg.norm(p0, axis=1)
+        ok &= p0_dist <= thr
+        ok &= (np.abs(e1_w) >= 1e-12) & (np.abs(e2_w) >= 1e-12)
+        pc1 = e1_xyz / np.where(e1_w == 0, 1.0, e1_w)[:, None]
+        pc2 = e2_xyz / np.where(e2_w == 0, 1.0, e2_w)[:, None]
+        ok &= (pc1[:, 2] >= 0) & (pc2[:, 2] >= 0)
 
-            t1 = vn @ (pc1 - p0)
-            t2 = vn @ (pc2 - p0)
-            tt = np.array(sorted([t1, t2]))
+        t1 = np.sum(vnn * (pc1 - p0), axis=1)
+        t2 = np.sum(vnn * (pc2 - p0), axis=1)
+        tt_lo = np.minimum(t1, t2)
+        tt_hi = np.maximum(t1, t2)
+        extend = np.sqrt(np.maximum(thr * thr - p0_dist ** 2, 0.0))
+        tt_lo = np.clip(tt_lo, -extend, extend)
+        tt_hi = np.clip(tt_hi, -extend, extend)
+        ok &= tt_lo != tt_hi
 
-            extend = np.sqrt(max(thr * thr - p0_dist * p0_dist, 0.0))
-            tt = np.clip(tt, -extend, extend)
-            if tt[0] == tt[1]:
-                continue
+        # interval transport between frames (gc_tt_to/from_pose):
+        # offset = init_pose.t . v_hat (in the init frame)
+        v_init_n = nrm(line[:, 3:])
+        offset = np.sum(tk * v_init_n, axis=1)
+        uninit = (tt_cur[:, 0] == 0) & (tt_cur[:, 1] == 0)
+        tt1_lo = np.where(uninit, tt_lo,
+                          np.minimum(tt_cur[:, 0] - offset, tt_lo))
+        tt1_hi = np.where(uninit, tt_hi,
+                          np.maximum(tt_cur[:, 1] - offset, tt_hi))
+        new_lo = tt1_lo + offset
+        new_hi = tt1_hi + offset
 
-            init_v = lm.line[3:]
-            tt1 = _tt_to_pose(lm.tt, init_v, relative_pose)
-            if tt1[0] == 0 and tt1[1] == 0:
-                tt1 = tt
-            else:
-                tt1[0] = min(tt1[0], tt[0])
-                tt1[1] = max(tt1[1], tt[1])
-            lm.tt = _tt_from_pose(tt1, init_v, relative_pose)
+        for i, lm in enumerate(active):
+            lm.pvn = pvn_new[i]
+            lm.tt = (np.array([new_lo[i], new_hi[i]]) if ok[i]
+                     else tt_cur[i].copy())
 
     # ------------------------------------------------------------------
     # loop closure / pose graph
@@ -741,6 +830,9 @@ class Slam:
             "proc_pose_estimation_mean_s": sw.stats("pose_estimation").mean,
             "proc_local_ba_mean_s": sw.stats("local_ba").mean,
             "proc_pose_graph_mean_s": sw.stats("pose_graph").mean,
+            "proc_ba_pack_mean_s": sw.stats("ba_pack").mean,
+            "proc_embedding_mean_s": sw.stats("embedding").mean,
+            "proc_endpoints_mean_s": sw.stats("endpoints").mean,
             "total_time_s": sw.elapsed(),
             "num_keyframes": len(self.state.kfs),
             "num_landmarks": len(self.state.lms),

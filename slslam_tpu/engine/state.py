@@ -58,6 +58,19 @@ class Landmark:
     currently_visible: bool = False
     obs_vec: List[Tuple[int, np.ndarray]] = dataclasses.field(
         default_factory=list)
+    # cache of obs_vec as parallel arrays, keyed by current length
+    _obs_cache: tuple = dataclasses.field(default=None, repr=False)
+
+    def obs_arrays(self):
+        """obs_vec as (kfids (n,), obs (n, 8)) NumPy arrays, cached."""
+        n = len(self.obs_vec)
+        if self._obs_cache is None or self._obs_cache[0] != n:
+            kfids = np.fromiter((k for k, _ in self.obs_vec),
+                                np.int64, count=n)
+            obs = (np.stack([o for _, o in self.obs_vec])
+                   if n else np.zeros((0, 8)))
+            self._obs_cache = (n, kfids, obs)
+        return self._obs_cache[1], self._obs_cache[2]
 
 
 @dataclasses.dataclass

@@ -117,3 +117,88 @@ def angle_normvec(v1, v2):
 def rotation_angle(R) -> float:
     """|angle| of a rotation matrix, for threshold checks."""
     return float(np.linalg.norm(so3_log(R)))
+
+
+# ---------------------------------------------------------------------------
+# Vectorized line transforms / parameterizations (NumPy mirrors of
+# geometry.py, used by the engine shell to avoid device round-trips for
+# cheap host-side conversions).  Semantics: gc.cpp:361-460 (orth),
+# :188-261 (aid); see geometry.py for the gimbal-lock handling notes.
+# ---------------------------------------------------------------------------
+
+def lines_from_pose(lines_c, T: Pose):
+    """(N, 6) (cp, dv) lines camera -> world, batched."""
+    Ti = T.inv()
+    cp = lines_c[:, :3] @ Ti.R.T + Ti.t
+    dv = lines_c[:, 3:] @ Ti.R.T
+    return np.concatenate([cp, dv], axis=1)
+
+
+def _normalize_rows(v):
+    n = np.linalg.norm(v, axis=-1, keepdims=True)
+    return np.where(n > 0, v / np.where(n > 0, n, 1.0), v)
+
+
+def av_to_orth_np(av):
+    """(N, 6) -> (N, 4), batched NumPy mirror of geometry.av_to_orth."""
+    a = av[:, :3]
+    v = av[:, 3:]
+    n = np.cross(a, v)
+    x = _normalize_rows(n)
+    y = _normalize_rows(v)
+    z = np.cross(x, y)
+
+    beta = np.arcsin(np.clip(-x[:, 2], -1.0, 1.0))
+    alpha_reg = np.arctan2(y[:, 2], z[:, 2])
+    gamma_reg = np.arctan2(x[:, 1], x[:, 0])
+    lock = np.abs(np.abs(x[:, 2]) - 1.0) < 1e-12
+    sign_term = np.where(x[:, 2] < 0, y[:, 0], -y[:, 0])
+    alpha = np.where(lock, np.arctan2(sign_term, y[:, 1]), alpha_reg)
+    gamma = np.where(lock, 0.0, gamma_reg)
+
+    nn = np.linalg.norm(n, axis=1)
+    vn = np.linalg.norm(v, axis=1)
+    wnorm = np.sqrt(nn * nn + vn * vn)
+    theta = np.arcsin(np.clip(vn / np.maximum(wnorm, 1e-300), -1.0, 1.0))
+    return np.stack([alpha, beta, gamma, theta], axis=1)
+
+
+def orth_to_av_np(orth):
+    """(N, 4) -> (N, 6), batched NumPy mirror of geometry.orth_to_av."""
+    a, b, g, t = orth[:, 0], orth[:, 1], orth[:, 2], orth[:, 3]
+    s1, c1 = np.sin(a), np.cos(a)
+    s2, c2 = np.sin(b), np.cos(b)
+    s3, c3 = np.sin(g), np.cos(g)
+    d = np.cos(t) / np.sin(t)
+    col2 = np.stack([c1 * s2 * c3 + s1 * s3,
+                     c1 * s2 * s3 - s1 * c3,
+                     c1 * c2], axis=1)
+    col1 = np.stack([s1 * s2 * c3 - c1 * s3,
+                     s1 * s2 * s3 + c1 * c3,
+                     s1 * c2], axis=1)
+    return np.concatenate([-col2 * d[:, None], col1], axis=1)
+
+
+def av_to_aid_np(av):
+    """(N, 6) -> (N, 4), batched NumPy mirror of geometry.av_to_aid."""
+    a = av[:, :3]
+    x = av[:, 3:]
+    y = np.cross(a, x)
+    d_inv = np.linalg.norm(x, axis=1) / np.linalg.norm(y, axis=1)
+    xn = _normalize_rows(x)
+    yn = _normalize_rows(y)
+    z = np.cross(xn, yn)
+    aa = np.stack([so3_log(np.stack([xn[i], yn[i], z[i]], axis=1))
+                   for i in range(len(av))])
+    return np.concatenate([aa, d_inv[:, None]], axis=1)
+
+
+def aid_to_av_np(aid):
+    """(N, 4) -> (N, 6), batched NumPy mirror of geometry.aid_to_av."""
+    out = np.empty((len(aid), 6))
+    for i, row in enumerate(aid):
+        R = rodrigues(row[:3])
+        d = 1.0 / row[3]
+        out[i, :3] = R[:, 2] * d
+        out[i, 3:] = R[:, 0]
+    return out

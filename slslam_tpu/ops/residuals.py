@@ -25,6 +25,8 @@ lba_problem.cpp:66) with no runtime autodiff overhead.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -33,20 +35,27 @@ from .. import geometry as geo
 _EPS = 1e-12
 
 
-def _orth_to_cp_dv(line_orth):
-    """Orthonormal params -> (cp, dv), the functor's inline expansion
-    (lba_problem.h:50-72)."""
-    av = geo.orth_to_av(line_orth)
-    return av[..., :3], av[..., 3:]
+_LINE_PARAM_DECODERS = {
+    # production parameterization (lba_problem.h:50-72)
+    "orth": geo.orth_to_av,
+    # angle-axis frame + inverse depth — the MATLAB study's `aid`
+    # (gc.cpp:188-261); included to reproduce the parameterization
+    # comparison (BASELINE.md §1)
+    "aid": geo.aid_to_av,
+    # experimental sigmoid depth (gc.cpp:265-356)
+    "asd": geo.asd_to_av,
+}
 
 
-def lba_residual(cam_wt, line_orth, obs, baseline):
-    """BA residual. cam_wt: (6,), line_orth: (4,), obs: (8,) -> (4,).
+def lba_residual(cam_wt, line_param4, obs, baseline, line_param="orth"):
+    """BA residual. cam_wt: (6,), line_param4: (4,), obs: (8,) -> (4,).
 
     obs layout: (x0 y0 x1 y1 | x2 y2 x3 y3), left-image endpoint pair first
-    (the loader contract, slam.cpp:85-95,121-128).
+    (the loader contract, slam.cpp:85-95,121-128).  `line_param` selects the
+    4-DoF line decoding (static under jit).
     """
-    cp, dv = _orth_to_cp_dv(line_orth)
+    av = _LINE_PARAM_DECODERS[line_param](line_param4)
+    cp, dv = av[..., :3], av[..., 3:]
     R = geo.rodrigues(cam_wt[..., :3])
     pc = jnp.einsum("...ij,...j->...i", R, cp) + cam_wt[..., 3:]
     dc = jnp.einsum("...ij,...j->...i", R, dv)
@@ -67,13 +76,13 @@ def lba_residual(cam_wt, line_orth, obs, baseline):
     return jnp.stack([r0, r1, r2, r3], axis=-1)
 
 
-def lba_residual_jac(cam_wt, line_orth, obs, baseline):
+def lba_residual_jac(cam_wt, line_param4, obs, baseline, line_param="orth"):
     """Residual plus Jacobians d r / d cam (4, 6) and d r / d line (4, 4)."""
-    r = lba_residual(cam_wt, line_orth, obs, baseline)
-    j_cam = jax.jacfwd(lba_residual, argnums=0)(cam_wt, line_orth, obs,
-                                                baseline)
-    j_line = jax.jacfwd(lba_residual, argnums=1)(cam_wt, line_orth, obs,
-                                                 baseline)
+    r = lba_residual(cam_wt, line_param4, obs, baseline, line_param)
+    j_cam = jax.jacfwd(lba_residual, argnums=0)(cam_wt, line_param4, obs,
+                                                baseline, line_param)
+    j_line = jax.jacfwd(lba_residual, argnums=1)(cam_wt, line_param4, obs,
+                                                 baseline, line_param)
     return r, j_cam, j_line
 
 
@@ -111,8 +120,15 @@ def score_error(obs, R, t, line_av, baseline):
 
 # residual+jacobians over a batch of observations, each with its own camera
 # and line parameters (already gathered): (O,6),(O,4),(O,8) -> (O,4),(O,4,6),(O,4,4)
-lba_residual_jac_batch = jax.vmap(lba_residual_jac,
-                                  in_axes=(0, 0, 0, None))
+@functools.lru_cache(maxsize=None)
+def _jac_batch_for(line_param):
+    fn = functools.partial(lba_residual_jac, line_param=line_param)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None))
+
+
+def lba_residual_jac_batch(cam_wt, line_param4, obs, baseline,
+                           line_param="orth"):
+    return _jac_batch_for(line_param)(cam_wt, line_param4, obs, baseline)
 
 # scoring over (hypotheses H, observations N): R (H,3,3), t (H,3) vs
 # obs (N,8), lines (N,6) -> (H, N) errors

@@ -69,7 +69,7 @@ def _robust_weights(r, huber_delta, robust):
 
 def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
                  cam_free_f, line_free_f, baseline, huber_delta, robust,
-                 axis_name=None):
+                 axis_name=None, line_param="orth", assembly="scatter"):
     """Residuals, robustified cost, and all normal-equation blocks.
 
     With `axis_name` set, observations are sharded over that mesh axis:
@@ -82,7 +82,8 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
 
     cw = cam_wt[obs_cam]
     lo = line_orth[obs_line]
-    r, Jc, Jl = lba_residual_jac_batch(cw, lo, obs, baseline)
+    r, Jc, Jl = lba_residual_jac_batch(cw, lo, obs, baseline,
+                                       line_param=line_param)
 
     w_r, cost_i = _robust_weights(r, huber_delta, robust)
     cost = jnp.sum(jnp.where(w_valid > 0, cost_i, 0.0))
@@ -106,13 +107,27 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
     gc_o = jnp.einsum("oki,ok->oi", Jc, r)          # (O,6)
     gl_o = jnp.einsum("oki,ok->oi", Jl, r)          # (O,4)
 
-    # Scatter into per-camera / per-line / coupling structures. (cam, line)
-    # pairs are unique per observation, so the adds are race-free.
-    Hcc = jnp.zeros((C, 6, 6), r.dtype).at[obs_cam].add(A)
-    Hll = jnp.zeros((L, 4, 4), r.dtype).at[obs_line].add(B)
-    gc = jnp.zeros((C, 6), r.dtype).at[obs_cam].add(gc_o)
-    gl = jnp.zeros((L, 4), r.dtype).at[obs_line].add(gl_o)
-    W = jnp.zeros((C, L, 6, 4), r.dtype).at[obs_cam, obs_line].add(Wb)
+    # Accumulate per-camera / per-line / coupling structures. (cam, line)
+    # pairs are unique per observation, so scatter-adds are race-free; the
+    # "onehot" mode reformulates them as matmuls, which ride the MXU and
+    # avoid XLA's sequential scatter lowering on TPU (chosen by default
+    # there; "scatter" is leaner on CPU).
+    if assembly == "onehot":
+        oc1h = jax.nn.one_hot(obs_cam, C, dtype=r.dtype)      # (O, C)
+        ol1h = jax.nn.one_hot(obs_line, L, dtype=r.dtype)     # (O, L)
+        Hcc = jnp.einsum("oc,oij->cij", oc1h, A)
+        Hll = jnp.einsum("ol,oij->lij", ol1h, B)
+        gc = oc1h.T @ gc_o
+        gl = ol1h.T @ gl_o
+        pair = obs_cam * L + obs_line
+        p1h = jax.nn.one_hot(pair, C * L, dtype=r.dtype)      # (O, C*L)
+        W = (p1h.T @ Wb.reshape(-1, 24)).reshape(C, L, 6, 4)
+    else:
+        Hcc = jnp.zeros((C, 6, 6), r.dtype).at[obs_cam].add(A)
+        Hll = jnp.zeros((L, 4, 4), r.dtype).at[obs_line].add(B)
+        gc = jnp.zeros((C, 6), r.dtype).at[obs_cam].add(gc_o)
+        gl = jnp.zeros((L, 4), r.dtype).at[obs_line].add(gl_o)
+        W = jnp.zeros((C, L, 6, 4), r.dtype).at[obs_cam, obs_line].add(Wb)
 
     if axis_name is not None:
         cost, Hcc, Hll, gc, gl, W = jax.lax.psum(
@@ -169,7 +184,8 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
 
 def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                   cam_free, line_free, baseline, huber_delta,
-                  robust=True, max_iters=10, axis_name=None):
+                  robust=True, max_iters=10, axis_name=None,
+                  line_param="orth", assembly=None):
     """Run windowed local BA.  All shapes static (padded).
 
     Args:
@@ -188,6 +204,9 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     Returns:
       (cam_wt', line_orth', BAStats)
     """
+    if assembly is None:
+        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
+                    else "scatter")
     dtype = cam_wt.dtype
     cam_free_f = cam_free.astype(dtype)
     line_free_f = line_free.astype(dtype)
@@ -196,7 +215,8 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     def evaluate(cw, lo):
         return _eval_system(cw, lo, obs, obs_cam, obs_line, w_valid,
                             cam_free_f, line_free_f, baseline, huber_delta,
-                            robust, axis_name=axis_name)
+                            robust, axis_name=axis_name,
+                            line_param=line_param, assembly=assembly)
 
     cost0, Hcc, Hll, gc, gl, W = evaluate(cam_wt, line_orth)
 
@@ -265,4 +285,5 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
 
 
 local_ba = jax.jit(local_ba_impl, static_argnames=("robust", "max_iters",
-                                                   "axis_name"))
+                                                   "axis_name", "line_param",
+                                                   "assembly"))

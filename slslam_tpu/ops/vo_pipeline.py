@@ -35,10 +35,10 @@ class VOResult(NamedTuple):
 
 @functools.partial(jax.jit,
                    static_argnames=("num_hyp", "sample_size", "robust",
-                                    "max_iters"))
+                                    "max_iters", "line_param"))
 def vo_pipeline(obs0, obs1, lines_av, valid, key, baseline, error_thr,
                 huber_delta, max_t_norm=1.0, num_hyp=256, sample_size=5,
-                robust=True, max_iters=10):
+                robust=True, max_iters=10, line_param="orth"):
     """Full VO solve.  The caller thresholds final_errors on the host to
     form the final inlier set and applies the keyframe decision."""
     N = obs0.shape[0]
@@ -65,7 +65,9 @@ def vo_pipeline(obs0, obs1, lines_av, valid, key, baseline, error_thr,
 
     # ---- motion-only BA (slam.cpp:578-675): cam0 free, cam1 fixed,
     # all lines fixed, observations = inliers only (via validity mask) ----
-    line_orth = geo.av_to_orth(lines_av)
+    encoders = {"orth": geo.av_to_orth, "aid": geo.av_to_aid,
+                "asd": geo.av_to_asd}
+    line_orth = encoders[line_param](lines_av)
     cam = jnp.zeros((4, 6), dtype).at[0].set(best_wt)
     cam_free = jnp.array([True, False, False, False])
     obs_cat = jnp.concatenate([obs1, obs0], axis=0)
@@ -77,7 +79,7 @@ def vo_pipeline(obs0, obs1, lines_av, valid, key, baseline, error_thr,
     cam_out, _, _ = local_ba_impl(
         cam, line_orth, obs_cat, ocam, olin, ovalid, cam_free,
         jnp.zeros(N, bool), baseline, huber_delta,
-        robust=robust, max_iters=max_iters)
+        robust=robust, max_iters=max_iters, line_param=line_param)
     wt = cam_out[0]
 
     # ---- final scoring under the polished motion (slam.cpp:305-314) ----
