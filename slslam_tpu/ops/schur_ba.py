@@ -112,7 +112,11 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
     # "onehot" mode reformulates them as matmuls, which ride the MXU and
     # avoid XLA's sequential scatter lowering on TPU (chosen by default
     # there; "scatter" is leaner on CPU).
-    if assembly == "onehot":
+    if assembly == "pallas":
+        from .pallas_kernels import assemble_pallas
+        Hcc, Hll, gc, gl, W = assemble_pallas(A, B, Wb, gc_o, gl_o,
+                                              obs_cam, obs_line, C, L)
+    elif assembly == "onehot":
         oc1h = jax.nn.one_hot(obs_cam, C, dtype=r.dtype)      # (O, C)
         ol1h = jax.nn.one_hot(obs_line, L, dtype=r.dtype)     # (O, L)
         Hcc = jnp.einsum("oc,oij->cij", oc1h, A)
@@ -287,3 +291,150 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
 local_ba = jax.jit(local_ba_impl, static_argnames=("robust", "max_iters",
                                                    "axis_name", "line_param",
                                                    "assembly"))
+
+
+# ---------------------------------------------------------------------------
+# Line-sharded distributed solver
+# ---------------------------------------------------------------------------
+
+def _solve_step_sharded(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f,
+                        axis_name):
+    """_solve_step with lines (and W columns) sharded over `axis_name`.
+
+    Each shard eliminates its own 4x4 line blocks and contributes a partial
+    reduced camera system; one psum of the (6C x 6C) coupling + rhs per
+    iteration is the only communication — the Schur reduction itself rides
+    the shards.
+    """
+    C = Hcc.shape[0]
+    dtype = Hcc.dtype
+
+    diag_c = jnp.clip(jnp.diagonal(Hcc, axis1=-2, axis2=-1),
+                      _MIN_DIAG, _MAX_DIAG)
+    diag_l = jnp.clip(jnp.diagonal(Hll, axis1=-2, axis2=-1),
+                      _MIN_DIAG, _MAX_DIAG)
+
+    L_loc = Hll.shape[0]
+    eye4 = jnp.eye(4, dtype=dtype)
+    Hll_d = Hll + lam * diag_l[..., None] * eye4
+    Binv = jnp.linalg.inv(Hll_d)                       # local lines
+
+    Wm = jnp.transpose(W, (0, 2, 1, 3)).reshape(C * 6, L_loc * 4)
+    X = jnp.einsum("clab,lbd->clad", W, Binv)
+    Xm = jnp.transpose(X, (0, 2, 1, 3)).reshape(C * 6, L_loc * 4)
+    S_coup = jax.lax.psum(Xm @ Wm.T, axis_name)
+    rhs_coup = jax.lax.psum(Xm @ gl.reshape(-1), axis_name)
+
+    Hcc_d = Hcc + lam * diag_c[..., None] * jnp.eye(6, dtype=dtype)
+    S = (-S_coup).reshape(C, 6, C, 6).at[
+        jnp.arange(C), :, jnp.arange(C), :].add(Hcc_d).reshape(C * 6, C * 6)
+    rhs = -gc.reshape(-1) + rhs_coup
+
+    m = jnp.repeat(cam_free_f, 6)
+    S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
+    rhs = rhs * m
+
+    cf = jax.scipy.linalg.cho_factor(S)
+    dc = jax.scipy.linalg.cho_solve(cf, rhs).reshape(C, 6)
+
+    coup = jnp.einsum("clab,ca->lb", W, dc)
+    dl = -jnp.einsum("lab,lb->la", Binv, gl + coup) * line_free_f[:, None]
+    dc = dc * cam_free_f[:, None]
+
+    damp_quad = (lam * jnp.sum(diag_c * dc * dc)
+                 + jax.lax.psum(lam * jnp.sum(diag_l * dl * dl), axis_name))
+    g_dot_d = (jnp.sum(gc * dc)
+               + jax.lax.psum(jnp.sum(gl * dl), axis_name))
+    return dc, dl, damp_quad, g_dot_d
+
+
+def local_ba_sharded_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
+                          obs_valid, cam_free, line_free, baseline,
+                          huber_delta, robust=True, max_iters=10,
+                          axis_name="shard", line_param="orth",
+                          assembly=None):
+    """Line-sharded local BA body (runs inside shard_map).
+
+    Per-shard arguments hold that shard's lines and the observations of
+    those lines (obs_line indexes the LOCAL line array); cameras are
+    replicated.  Communication per LM iteration: one psum of
+    {cost, Hcc, gc} at evaluation and one psum of the (6C x 6C) coupling at
+    the solve — independent of the number of lines/observations.
+    """
+    if assembly is None:
+        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
+                    else "scatter")
+    dtype = cam_wt.dtype
+    cam_free_f = cam_free.astype(dtype)
+    line_free_f = line_free.astype(dtype)
+    w_valid = obs_valid.astype(dtype)
+
+    def evaluate(cw, lo):
+        cost, Hcc, Hll, gc, gl, W = _eval_system(
+            cw, lo, obs, obs_cam, obs_line, w_valid, cam_free_f,
+            line_free_f, baseline, huber_delta, robust,
+            axis_name=None, line_param=line_param, assembly=assembly)
+        cost, Hcc, gc = jax.lax.psum((cost, Hcc, gc), axis_name)
+        return cost, Hcc, Hll, gc, gl, W
+
+    cost0, Hcc, Hll, gc, gl, W = evaluate(cam_wt, line_orth)
+
+    class _S(NamedTuple):
+        cam: jnp.ndarray
+        line: jnp.ndarray
+        cost: jnp.ndarray
+        Hcc: jnp.ndarray
+        Hll: jnp.ndarray
+        gc: jnp.ndarray
+        gl: jnp.ndarray
+        W: jnp.ndarray
+        radius: jnp.ndarray
+        decrease_factor: jnp.ndarray
+        it: jnp.ndarray
+        done: jnp.ndarray
+
+    state = _S(cam_wt, line_orth, cost0, Hcc, Hll, gc, gl, W,
+               jnp.asarray(_INIT_RADIUS, dtype), jnp.asarray(2.0, dtype),
+               jnp.asarray(0, jnp.int32), jnp.asarray(False))
+
+    def cond(s):
+        return jnp.logical_and(s.it < max_iters, jnp.logical_not(s.done))
+
+    def body(s):
+        lam = 1.0 / s.radius
+        dc, dl, damp_quad, g_dot_d = _solve_step_sharded(
+            s.Hcc, s.Hll, s.gc, s.gl, s.W, lam, cam_free_f, line_free_f,
+            axis_name)
+
+        cam_new = s.cam + dc
+        line_new = s.line + dl
+        cost_new, Hcc_n, Hll_n, gc_n, gl_n, W_n = evaluate(cam_new, line_new)
+
+        model_change = 0.5 * (damp_quad - g_dot_d)
+        rho = (s.cost - cost_new) / jnp.maximum(model_change, 1e-300)
+        accept = jnp.logical_and(model_change > 0,
+                                 rho > _MIN_RELATIVE_DECREASE)
+        accept = jnp.logical_and(accept, jnp.isfinite(cost_new))
+
+        tmp = 2.0 * rho - 1.0
+        radius = jnp.where(
+            accept,
+            jnp.minimum(s.radius / jnp.maximum(1.0 / 3.0, 1.0 - tmp ** 3),
+                        1e16),
+            jnp.maximum(s.radius / s.decrease_factor, 1e-32))
+        dec = jnp.where(accept, 2.0, s.decrease_factor * 2.0)
+        converged = jnp.logical_and(
+            accept, jnp.abs(s.cost - cost_new) <= _FUNCTION_TOL * s.cost)
+
+        return _S(jnp.where(accept, cam_new, s.cam),
+                  jnp.where(accept, line_new, s.line),
+                  jnp.where(accept, cost_new, s.cost),
+                  jnp.where(accept, Hcc_n, s.Hcc),
+                  jnp.where(accept, Hll_n, s.Hll),
+                  jnp.where(accept, gc_n, s.gc),
+                  jnp.where(accept, gl_n, s.gl),
+                  jnp.where(accept, W_n, s.W),
+                  radius, dec, s.it + 1, converged)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return out.cam, out.line, BAStats(out.it, cost0, out.cost)

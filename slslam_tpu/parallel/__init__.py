@@ -6,5 +6,6 @@ adjustment and edge-sharded distributed pose-graph optimization, with XLA
 collectives (psum over ICI) as the communication backend.
 """
 
-from .dist_ba import dist_local_ba, make_mesh  # noqa: F401
+from .dist_ba import (dist_local_ba, dist_local_ba_lines,  # noqa: F401
+                      make_mesh, partition_by_line)
 from .dist_pgo import dist_pose_graph_opt  # noqa: F401

@@ -127,3 +127,29 @@ class TestPGO:
         out_d, stats_d = dist_pose_graph_opt(mesh, *args, max_iters=10)
         np.testing.assert_allclose(np.asarray(out_d), np.asarray(out_s),
                                    rtol=1e-8, atol=1e-10)
+
+
+class TestDistBALines:
+    def test_line_sharded_matches_single(self, mesh):
+        from slslam_tpu.parallel.dist_ba import (dist_local_ba_lines,
+                                                 partition_by_line)
+        args = padded_ba_problem()
+        (cam0, orth0, obs_p, oc, ol, valid, cam_free, line_free) = args
+        cam_s, line_s, stats_s = local_ba(*args, BL, 1.0 / CAM.focal_length)
+
+        lo, lf, ob, oc_sh, ol_sh, ov, perm = partition_by_line(
+            np.asarray(orth0), np.asarray(line_free), np.asarray(obs_p),
+            np.asarray(oc), np.asarray(ol), np.asarray(valid), 8)
+        cam_d, line_d, stats_d = dist_local_ba_lines(
+            mesh, cam0, jnp.asarray(lo), jnp.asarray(ob),
+            jnp.asarray(oc_sh), jnp.asarray(ol_sh), jnp.asarray(ov),
+            args[6], jnp.asarray(lf), BL, 1.0 / CAM.focal_length)
+        # un-permute lines back to global order
+        line_flat = np.asarray(line_d).reshape(-1, 4)
+        line_back = line_flat[perm]
+
+        np.testing.assert_allclose(np.asarray(cam_d), np.asarray(cam_s),
+                                   rtol=1e-7, atol=1e-9)
+        np.testing.assert_allclose(line_back, np.asarray(line_s),
+                                   rtol=1e-7, atol=1e-9)
+        assert int(stats_d.iterations) == int(stats_s.iterations)

@@ -1,0 +1,79 @@
+"""Pallas assembly kernel vs reference reductions (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from slslam_tpu.ops.pallas_kernels import assemble_pallas, segment_sum_pallas
+
+
+class TestSegmentSum:
+    def test_matches_xla_segment_sum(self):
+        rng = np.random.default_rng(0)
+        O, D, P = 1024, 24, 600
+        vals = jnp.asarray(rng.standard_normal((O, D)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, P, O).astype(np.int32))
+        ref = jax.ops.segment_sum(vals, idx, num_segments=P)
+        out = segment_sum_pallas(vals, idx, P, interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_out_of_range_rows_dropped(self):
+        rng = np.random.default_rng(1)
+        O, D, P = 512, 8, 100
+        vals = jnp.asarray(rng.standard_normal((O, D)).astype(np.float32))
+        idx = rng.integers(0, P, O).astype(np.int32)
+        idx[::5] = P  # padding convention: index == num_segments
+        keep = idx < P
+        ref = jax.ops.segment_sum(vals[keep], jnp.asarray(idx[keep]),
+                                  num_segments=P)
+        out = segment_sum_pallas(vals, jnp.asarray(idx), P, chunk=256,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_small_chunk(self):
+        rng = np.random.default_rng(2)
+        vals = jnp.asarray(rng.standard_normal((64, 4)).astype(np.float32))
+        idx = jnp.asarray(rng.integers(0, 10, 64).astype(np.int32))
+        ref = jax.ops.segment_sum(vals, idx, num_segments=10)
+        out = segment_sum_pallas(vals, idx, 10, chunk=64, tile_p=16,
+                                 interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+
+
+class TestAssemble:
+    def test_matches_scatter_assembly(self):
+        rng = np.random.default_rng(3)
+        O, C, L = 512, 8, 32
+        A = rng.standard_normal((O, 6, 6)).astype(np.float32)
+        B = rng.standard_normal((O, 4, 4)).astype(np.float32)
+        Wb = rng.standard_normal((O, 6, 4)).astype(np.float32)
+        gc_o = rng.standard_normal((O, 6)).astype(np.float32)
+        gl_o = rng.standard_normal((O, 4)).astype(np.float32)
+        oc = rng.integers(0, C, O).astype(np.int32)
+        ol = rng.integers(0, L, O).astype(np.int32)
+
+        Hcc, Hll, gc, gl, W = assemble_pallas(
+            jnp.asarray(A), jnp.asarray(B), jnp.asarray(Wb),
+            jnp.asarray(gc_o), jnp.asarray(gl_o),
+            jnp.asarray(oc), jnp.asarray(ol), C, L, interpret=True)
+
+        Hcc_ref = np.zeros((C, 6, 6), np.float32)
+        np.add.at(Hcc_ref, oc, A)
+        Hll_ref = np.zeros((L, 4, 4), np.float32)
+        np.add.at(Hll_ref, ol, B)
+        W_ref = np.zeros((C, L, 6, 4), np.float32)
+        np.add.at(W_ref, (oc, ol), Wb)
+        gc_ref = np.zeros((C, 6), np.float32)
+        np.add.at(gc_ref, oc, gc_o)
+        gl_ref = np.zeros((L, 4), np.float32)
+        np.add.at(gl_ref, ol, gl_o)
+
+        np.testing.assert_allclose(np.asarray(Hcc), Hcc_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Hll), Hll_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(W), W_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gc), gc_ref, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gl), gl_ref, atol=1e-4)
