@@ -36,6 +36,9 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     p.add_argument("--out", default=None, help="output directory")
     p.add_argument("--plot", action="store_true",
                    help="write a map.png rendering into --out")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save a resumable checkpoint into --out every N "
+                        "keyframes (0 = off)")
 
 
 def _make_config(args):
@@ -87,6 +90,14 @@ def _finish(slam, args, gt_rows=None):
     return stats
 
 
+def _maybe_checkpoint(slam, args, n_kfs):
+    every = getattr(args, "checkpoint_every", 0)
+    if every and args.out and n_kfs % every == 0:
+        from .checkpoint import save_checkpoint
+        os.makedirs(args.out, exist_ok=True)
+        save_checkpoint(slam, os.path.join(args.out, "checkpoint.npz"))
+
+
 def cmd_sim(args):
     import numpy as np
     from .engine import Slam
@@ -107,6 +118,7 @@ def cmd_sim(args):
             break
         if slam.process_frame(ren.observe(T), i):
             kf_frames.append(i)
+            _maybe_checkpoint(slam, args, len(kf_frames))
         if args.verbose and i % 20 == 0:
             print(f"frame {i}: kfs={len(kf_frames)} "
                   f"lms={len(slam.state.lms)}", file=sys.stderr)
@@ -144,6 +156,57 @@ def cmd_run(args):
     _finish(slam, args)
 
 
+def cmd_track(args):
+    """Full pipeline on raw stereo imagery: detector -> matcher -> SLAM.
+
+    Replaces the reference's unreleased front-end; images are %04d.(png|jpg)
+    under --left-dir / --right-dir (the reference's left_rect/right_rect
+    layout, parameter.h:28-41).
+    """
+    import glob
+
+    import numpy as np
+    from PIL import Image
+
+    from .engine import Slam
+    from .frontend.matcher import StereoLineMatcher
+
+    cfg = _make_config(args)
+    slam = Slam(cfg)
+    matcher = StereoLineMatcher(cfg.camera)
+
+    def frames():
+        i = args.start
+        while True:
+            hits = []
+            for d in (args.left_dir, args.right_dir):
+                found = None
+                for ext in ("png", "jpg", "jpeg", "pgm", "bmp"):
+                    p = os.path.join(d, f"{i:04d}.{ext}")
+                    if os.path.exists(p):
+                        found = p
+                        break
+                hits.append(found)
+            if None in hits:
+                return
+            yield i, hits
+            i += 1
+
+    t0 = time.time()
+    n = 0
+    for frame_id, (pl_, pr_) in frames():
+        if frame_id > args.stopfrm:
+            break
+        img_l = np.asarray(Image.open(pl_).convert("L"), np.float32)
+        img_r = np.asarray(Image.open(pr_).convert("L"), np.float32)
+        obs = matcher.process(frame_id, img_l, img_r)
+        slam.process_frame(obs, frame_id, normalized=False)
+        n += 1
+    print(f"processed {n} stereo frames, {len(slam.state.kfs)} keyframes "
+          f"in {time.time() - t0:.1f}s")
+    _finish(slam, args)
+
+
 def cmd_gen(args):
     from .config import CameraConfig
     from .sim import StereoLineRenderer, house_segments, wave_trajectory
@@ -178,6 +241,14 @@ def main(argv=None):
     pr.add_argument("--obs-dir", required=True)
     _add_engine_flags(pr)
     pr.set_defaults(fn=cmd_run)
+
+    pt = sub.add_parser("track",
+                        help="full pipeline on raw stereo imagery")
+    pt.add_argument("--left-dir", required=True)
+    pt.add_argument("--right-dir", required=True)
+    pt.add_argument("--start", type=int, default=0)
+    _add_engine_flags(pt)
+    pt.set_defaults(fn=cmd_track)
 
     pg = sub.add_parser("gen", help="generate a sim sequence to disk")
     pg.add_argument("--frames", type=int, default=400)

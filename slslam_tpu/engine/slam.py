@@ -262,6 +262,11 @@ class Slam:
         if int(best_score) < cfg.ransac_min_sample:
             self.stop_watch.tock("pose_estimation")
             return None
+        if not np.all(np.isfinite(wt)):
+            # failure containment: a non-finite solve result is treated as
+            # a tracking failure for this frame, never written to the map
+            self.stop_watch.tock("pose_estimation")
+            return None
 
         self.final_inliers = {
             comm[k] for k in range(N) if errors[k] < cfg.error_thr}
@@ -485,6 +490,12 @@ class Slam:
         self.sum_init_cost += float(stats.initial_cost)
         self.sum_final_cost += float(stats.final_cost)
 
+        if not (np.all(np.isfinite(cam_out)) and
+                np.all(np.isfinite(line_out))):
+            # failure containment: reject the whole solve rather than
+            # poisoning the relative map (no reference analog — the new
+            # build's failure-detection policy)
+            return
         # write back poses first, then lines (which re-read the updated
         # init-KF poses) — matching the reference order (slam.cpp:957-972)
         for ci, kid in enumerate(vec_kfs):

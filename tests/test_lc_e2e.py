@@ -1,0 +1,69 @@
+"""Full-engine loop-closure e2e on the village world.
+
+Slow (~5-8 min CPU): runs only when SLSLAM_SLOW_TESTS=1 — the loop-closure
+machinery has fast unit coverage in test_loopclosure.py; this exercises the
+complete engine path (recognition -> relative pose -> edge insertion ->
+landmark merge -> id remap) on a 2.5-pi orbit with track-id churn.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from slslam_tpu.config import SlamConfig
+from slslam_tpu.engine import Slam
+from slslam_tpu.evalio.traj import ate_position_error
+from slslam_tpu.evalio.writers import trajectory_rows
+from slslam_tpu.loopclosure import PlaceRecognizer, VocTree, build_vocabulary
+from slslam_tpu.loopclosure.voctree import DESC_DIM, VocTreeParams
+from slslam_tpu.sim import (SegmentDescriptorSource, StereoLineRenderer,
+                            TrackIdAssigner, village_segments,
+                            village_trajectory)
+
+slow = pytest.mark.skipif(not os.environ.get("SLSLAM_SLOW_TESTS"),
+                          reason="set SLSLAM_SLOW_TESTS=1 to run")
+
+
+@slow
+def test_village_loop_closure():
+    cfg = dataclasses.replace(SlamConfig(), compute_dtype="float64")
+    segs = village_segments(n_houses=8, ring_radius=10.0)
+    poses_gt = village_trajectory(num_frames=280, arc=2.5 * np.pi,
+                                  orbit_radius=4.0)
+    ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.3, seed=1)
+    assigner = TrackIdAssigner(max_gap=5)
+    desc_src = SegmentDescriptorSource(assigner, len(segs), noise=0.01,
+                                       seed=7)
+
+    rng0 = np.random.default_rng(0)
+    samples = np.concatenate([
+        desc_src.base + rng0.standard_normal(
+            desc_src.base.shape).astype(np.float32) * 0.02
+        for _ in range(6)])
+    samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+    vocab = build_vocabulary(samples, seed=0, kmeans_iters=3)
+
+    params = VocTreeParams(non_consider_recent=20, consider_seq_length=5,
+                           threshold=0.3, num_avg_words=30)
+    slam = Slam(cfg)
+    slam.place_recognizer = PlaceRecognizer(VocTree(vocab, params),
+                                            min_matches=8,
+                                            min_similarity=0.8)
+    slam.descriptor_source = desc_src
+
+    kf_frames = []
+    for i, T in enumerate(poses_gt):
+        obs = assigner.assign(i, ren.observe(T))
+        if slam.process_frame(obs, i):
+            kf_frames.append(i)
+
+    assert slam.lc_cnt >= 1, "no loop closure detected"
+    # a loop edge exists beyond the odometry chain
+    assert len(slam.state.edge_set) >= len(kf_frames)
+    est = trajectory_rows(slam.trajectory())
+    T0 = poses_gt[kf_frames[0]]
+    gt = trajectory_rows([(poses_gt[i] @ T0.inv()).inv()
+                          for i in kf_frames])
+    assert ate_position_error(est, gt) < 0.15
