@@ -50,6 +50,12 @@ class SlamConfig:
     ransac_num_hypotheses: int = 256     # fixed batched trial count
     prob_free_outliers: float = 0.999
     ransac_max_t_norm: float = 1.0       # hypothesis reject (src/slam.cpp:401)
+    # The |t| <= 1 gate assumes inter-frame motion; a recognized loop
+    # keyframe can legitimately sit further away (place recognition
+    # resolution is one document).  New-build policy: a wider gate for the
+    # loop-closure relative-pose solve, still verified by moBA + inliers +
+    # the consistency check.
+    lc_ransac_max_t_norm: float = 2.5
 
     # Reprojection / thresholds (reference: src/parameter.h:55-62).
     inverse_depth: float = 0.1
@@ -78,6 +84,10 @@ class SlamConfig:
 
     # TPU-native knobs (no reference analog).
     compute_dtype: str = "float32"       # device kernel dtype
+    # Distributed execution: 0 = single device; N > 1 = run local BA
+    # line-sharded and pose-graph optimization edge-sharded over an
+    # N-device mesh (jax.devices()[:N]).
+    mesh_devices: int = 0
     # Capacity buckets used to keep jitted kernel shapes stable. A problem of
     # size n runs in the smallest bucket >= n.
     obs_buckets: tuple = (64, 128, 256, 512, 1024, 2048, 4096)

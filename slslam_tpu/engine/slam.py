@@ -85,6 +85,18 @@ class Slam:
         self.key = jax.random.PRNGKey(self.cfg.rseed)
         self.stop_watch = StopWatch()
 
+        # optional mesh for distributed solves (cfg.mesh_devices > 1):
+        # local BA runs line-sharded, PGO edge-sharded
+        self.mesh = None
+        if self.cfg.mesh_devices and self.cfg.mesh_devices > 1:
+            from jax.sharding import Mesh
+            devs = jax.devices()[:self.cfg.mesh_devices]
+            if len(devs) < self.cfg.mesh_devices:
+                raise ValueError(
+                    f"mesh_devices={self.cfg.mesh_devices} but only "
+                    f"{len(devs)} devices available")
+            self.mesh = Mesh(np.array(devs), ("obs",))
+
         # optional loop-closure subsystem (slslam_tpu.loopclosure): a
         # PlaceRecognizer plus a descriptor source mapping
         # (frame_id, [feature ids]) -> (F, 72) descriptors.  The released
@@ -211,7 +223,9 @@ class Slam:
     # ------------------------------------------------------------------
 
     def pose_estimation(self, obs0: Dict[int, np.ndarray],
-                        obs1: Dict[int, np.ndarray]) -> Optional[Pose]:
+                        obs1: Dict[int, np.ndarray],
+                        max_t_norm: Optional[float] = None
+                        ) -> Optional[Pose]:
         """slam.cpp:244-319: RANSAC + motion-only BA + final inliers.
 
         Landmark lines are fetched in the current embedding frame; the
@@ -250,7 +264,8 @@ class Slam:
             jnp.asarray(o0, self.dtype), jnp.asarray(o1, self.dtype),
             jnp.asarray(ln, self.dtype), jnp.asarray(valid), sub,
             cfg.camera.baseline, cfg.error_thr, cfg.huber_delta,
-            max_t_norm=cfg.ransac_max_t_norm,
+            max_t_norm=(max_t_norm if max_t_norm is not None
+                        else cfg.ransac_max_t_norm),
             num_hyp=cfg.ransac_num_hypotheses,
             sample_size=cfg.ransac_min_sample,
             robust=cfg.robust, max_iters=cfg.max_num_iter,
@@ -473,18 +488,41 @@ class Slam:
         valid[:O] = True
 
         self.stop_watch.tock("ba_pack")
-        cam_dev, line_dev, stats_dev = local_ba(
-            jnp.asarray(cam_p, self.dtype), jnp.asarray(lorth, self.dtype),
-            jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
-            jnp.asarray(olin), jnp.asarray(valid), jnp.asarray(cam_free),
-            jnp.asarray(line_free), cfg.camera.baseline, cfg.huber_delta,
-            robust=cfg.robust, max_iters=cfg.max_num_iter,
-            line_param=cfg.line_param)
-        # single fused device->host fetch
-        cam_out, line_out, stats = jax.device_get(
-            (cam_dev, line_dev, stats_dev))
-        cam_out = np.asarray(cam_out, np.float64)
-        line_out = np.asarray(line_out, np.float64)
+        if self.mesh is not None:
+            from ..parallel.dist_ba import (dist_local_ba_lines,
+                                            partition_by_line)
+            n = self.mesh.devices.size
+            lo, lf, ob, oc_sh, ol_sh, ov, perm = partition_by_line(
+                lorth, line_free, obs_p, ocam, olin, valid, n)
+            cam_dev, line_dev, stats_dev = dist_local_ba_lines(
+                self.mesh, jnp.asarray(cam_p, self.dtype),
+                jnp.asarray(lo, self.dtype), jnp.asarray(ob, self.dtype),
+                jnp.asarray(oc_sh), jnp.asarray(ol_sh), jnp.asarray(ov),
+                jnp.asarray(cam_free), jnp.asarray(lf),
+                cfg.camera.baseline, cfg.huber_delta,
+                robust=cfg.robust, max_iters=cfg.max_num_iter,
+                line_param=cfg.line_param)
+            cam_out, line_sh, stats = jax.device_get(
+                (cam_dev, line_dev, stats_dev))
+            line_out = np.asarray(line_sh,
+                                  np.float64).reshape(-1, 4)[perm]
+            cam_out = np.asarray(cam_out, np.float64)
+        else:
+            cam_dev, line_dev, stats_dev = local_ba(
+                jnp.asarray(cam_p, self.dtype),
+                jnp.asarray(lorth, self.dtype),
+                jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
+                jnp.asarray(olin), jnp.asarray(valid),
+                jnp.asarray(cam_free),
+                jnp.asarray(line_free), cfg.camera.baseline,
+                cfg.huber_delta,
+                robust=cfg.robust, max_iters=cfg.max_num_iter,
+                line_param=cfg.line_param)
+            # single fused device->host fetch
+            cam_out, line_out, stats = jax.device_get(
+                (cam_dev, line_dev, stats_dev))
+            cam_out = np.asarray(cam_out, np.float64)
+            line_out = np.asarray(line_out, np.float64)
 
         self.sum_num_iteration += int(stats.iterations)
         self.sum_init_cost += float(stats.initial_cost)
@@ -698,7 +736,8 @@ class Slam:
                     obs1[lid] = self.curr_obs[cid]
                     break
 
-        motion = self.pose_estimation(obs0, obs1)
+        motion = self.pose_estimation(
+            obs0, obs1, max_t_norm=self.cfg.lc_ransac_max_t_norm)
         if motion is None:
             return False
 
@@ -775,11 +814,25 @@ class Slam:
         pose_free = np.ones(V, bool)
         pose_free[ei[0]] = False  # gauge (po_problem.cpp:62-63)
 
-        out, _ = pose_graph_opt(
-            jnp.asarray(poses, self.dtype), jnp.asarray(ei),
-            jnp.asarray(ej), jnp.asarray(ctr, self.dtype),
-            jnp.ones(E, bool), jnp.asarray(pose_free),
-            max_iters=self.cfg.pgo_num_iter)
+        if self.mesh is not None:
+            from ..parallel.dist_pgo import dist_pose_graph_opt
+            n = self.mesh.devices.size
+            Ep = ((E + n - 1) // n) * n
+            ei_p = np.zeros(Ep, np.int32); ei_p[:E] = ei
+            ej_p = np.zeros(Ep, np.int32); ej_p[:E] = ej
+            ctr_p = np.zeros((Ep, 6)); ctr_p[:E] = ctr
+            ev = np.zeros(Ep, bool); ev[:E] = True
+            out, _ = dist_pose_graph_opt(
+                self.mesh, jnp.asarray(poses, self.dtype),
+                jnp.asarray(ei_p), jnp.asarray(ej_p),
+                jnp.asarray(ctr_p, self.dtype), jnp.asarray(ev),
+                jnp.asarray(pose_free), max_iters=self.cfg.pgo_num_iter)
+        else:
+            out, _ = pose_graph_opt(
+                jnp.asarray(poses, self.dtype), jnp.asarray(ei),
+                jnp.asarray(ej), jnp.asarray(ctr, self.dtype),
+                jnp.ones(E, bool), jnp.asarray(pose_free),
+                max_iters=self.cfg.pgo_num_iter)
         out = np.asarray(out, np.float64)
 
         for i in range(V):

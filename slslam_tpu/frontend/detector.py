@@ -82,6 +82,74 @@ def _angle_diff(a, b):
     return np.minimum(d, 2 * np.pi - d)
 
 
+def fuse_stroke_edge_pairs(segs, grad_dirs, angle_tol=3.0 * np.pi / 180.0,
+                           max_sep=5.0, min_sep=0.5, min_overlap=0.3):
+    """Fuse the two edges of a dark/bright stroke into its centerline.
+
+    A thin stroke produces two parallel detections with anti-parallel
+    gradients (both pointing out of — or into — the stroke).  Pairing them
+    and averaging removes the systematic half-stroke offset that otherwise
+    biases stereo disparity by a full stroke width when the two cameras
+    lock onto opposite edges.  Unpaired segments pass through unchanged
+    (real-world intensity edges are single-sided).
+    """
+    n = len(segs)
+    if n <= 1:
+        return segs
+    d = segs[:, 2:4] - segs[:, 0:2]
+    length = np.hypot(d[:, 0], d[:, 1])
+    u = d / np.maximum(length, 1e-9)[:, None]
+    ang = np.arctan2(u[:, 1], u[:, 0]) % np.pi
+    mid = (segs[:, 0:2] + segs[:, 2:4]) / 2
+
+    cands = []
+    for i in range(n):
+        for j in range(i + 1, n):
+            da = abs(ang[i] - ang[j])
+            da = min(da, np.pi - da)
+            if da > angle_tol:
+                continue
+            if grad_dirs[i] @ grad_dirs[j] > -0.5:
+                continue  # gradients not anti-parallel: not a stroke pair
+            off = abs(u[i, 0] * (mid[j] - mid[i])[1]
+                      - u[i, 1] * (mid[j] - mid[i])[0])
+            if off < min_sep or off > max_sep:
+                continue
+            # extent overlap along i's direction
+            ti = sorted([0.0, length[i]])
+            tj = sorted([u[i] @ (segs[j, 0:2] - segs[i, 0:2]),
+                         u[i] @ (segs[j, 2:4] - segs[i, 0:2])])
+            inter = min(ti[1], tj[1]) - max(ti[0], tj[0])
+            if inter < min_overlap * min(length[i], length[j]):
+                continue
+            cands.append((off, i, j))
+
+    cands.sort()
+    used = set()
+    out = []
+    for off, i, j in cands:
+        if i in used or j in used:
+            continue
+        used.add(i)
+        used.add(j)
+        # centerline: project both segments' endpoints onto the average
+        # direction through the midpoint between the two lines
+        w = np.array([length[i], length[j]])
+        a2 = 2 * np.array([ang[i], ang[j]])
+        avg = 0.5 * np.arctan2((w * np.sin(a2)).sum(),
+                               (w * np.cos(a2)).sum())
+        uu = np.array([np.cos(avg), np.sin(avg)])
+        c = (mid[i] * length[i] + mid[j] * length[j]) / (length[i]
+                                                         + length[j])
+        pts = np.concatenate([segs[i].reshape(2, 2), segs[j].reshape(2, 2)])
+        ts = (pts - c) @ uu
+        out.append(np.concatenate([c + ts.min() * uu, c + ts.max() * uu]))
+    for k in range(n):
+        if k not in used:
+            out.append(segs[k])
+    return np.stack(out) if out else segs
+
+
 def merge_collinear_segments(segs, angle_tol=2.0 * np.pi / 180.0,
                              offset_tol=2.5, gap_tol=8.0):
     """Fuse fragments lying on the same infinite image line.
@@ -155,12 +223,16 @@ class LineSegmentDetector:
     def __init__(self, mag_threshold: float = 5.0,
                  angle_tolerance: float = 22.5 * np.pi / 180.0,
                  min_length: float = 20.0, min_density: float = 0.6,
-                 merge_collinear: bool = True):
+                 merge_collinear: bool = True,
+                 fuse_stroke_edges: bool = True,
+                 stroke_max_sep: float = 5.0):
         self.mag_threshold = mag_threshold
         self.angle_tol = angle_tolerance
         self.min_length = min_length
         self.min_density = min_density
         self.merge_collinear = merge_collinear
+        self.fuse_stroke_edges = fuse_stroke_edges
+        self.stroke_max_sep = stroke_max_sep
 
     def detect(self, img: np.ndarray) -> np.ndarray:
         """(H, W) grayscale -> (N, 4) segments (x1, y1, x2, y2)."""
@@ -178,6 +250,7 @@ class LineSegmentDetector:
         ys, xs = ys[order], xs[order]
 
         segments: List[np.ndarray] = []
+        grad_dirs: List[np.ndarray] = []
         neigh = [(-1, -1), (-1, 0), (-1, 1), (0, -1), (0, 1),
                  (1, -1), (1, 0), (1, 1)]
 
@@ -210,6 +283,13 @@ class LineSegmentDetector:
 
             if len(region) < self.min_length:
                 continue
+            # mean gradient direction of the region (for stroke-edge
+            # polarity: level-line angle a => gradient unit (sin a, -cos a))
+            ridx = np.asarray(region)
+            ra = angle[ridx[:, 0], ridx[:, 1]]
+            gvec = np.array([np.sin(ra).sum(), -np.cos(ra).sum()])
+            gn = np.linalg.norm(gvec)
+            gvec = gvec / gn if gn > 0 else gvec
 
             pts = np.asarray(region, np.float64)       # (n, 2) (y, x)
             w = mag[pts[:, 0].astype(int), pts[:, 1].astype(int)]
@@ -232,9 +312,14 @@ class LineSegmentDetector:
             p1 = c + t0 * v
             p2 = c + t1 * v
             segments.append(np.array([p1[1], p1[0], p2[1], p2[0]]))
+            grad_dirs.append(gvec)
 
         out = np.stack(segments) if segments else np.zeros((0, 4))
-        if self.merge_collinear:
+        gd = np.stack(grad_dirs) if grad_dirs else np.zeros((0, 2))
+        if self.fuse_stroke_edges and len(out):
+            out = fuse_stroke_edge_pairs(out, gd,
+                                         max_sep=self.stroke_max_sep)
+        if self.merge_collinear and len(out):
             out = merge_collinear_segments(out)
             out = out[np.hypot(out[:, 2] - out[:, 0],
                                out[:, 3] - out[:, 1]) >= self.min_length] \

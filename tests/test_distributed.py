@@ -153,3 +153,31 @@ class TestDistBALines:
         np.testing.assert_allclose(line_back, np.asarray(line_s),
                                    rtol=1e-7, atol=1e-9)
         assert int(stats_d.iterations) == int(stats_s.iterations)
+
+
+class TestEngineDistributed:
+    def test_engine_with_mesh_matches_single(self):
+        import dataclasses
+        from slslam_tpu.config import SlamConfig
+        from slslam_tpu.engine import Slam
+        from slslam_tpu.evalio.writers import trajectory_rows
+        from slslam_tpu.sim import (StereoLineRenderer, house_segments,
+                                    wave_trajectory)
+
+        segs = house_segments()
+        poses = wave_trajectory(num_frames=24)
+        ren = StereoLineRenderer(segs, CameraConfig(), noise_px=0.3, seed=1)
+        frames = [ren.observe(T) for T in poses]
+
+        def run(mesh_devices):
+            cfg = dataclasses.replace(SlamConfig(),
+                                      compute_dtype="float64",
+                                      mesh_devices=mesh_devices)
+            slam = Slam(cfg)
+            for i, obs in enumerate(frames):
+                slam.process_frame(obs, i)
+            return trajectory_rows(slam.trajectory())
+
+        t1 = run(0)
+        t8 = run(8)
+        np.testing.assert_allclose(t8, t1, atol=1e-8)

@@ -30,7 +30,7 @@ slow = pytest.mark.skipif(not os.environ.get("SLSLAM_SLOW_TESTS"),
 def test_village_loop_closure():
     cfg = dataclasses.replace(SlamConfig(), compute_dtype="float64")
     segs = village_segments(n_houses=8, ring_radius=10.0)
-    poses_gt = village_trajectory(num_frames=280, arc=2.5 * np.pi,
+    poses_gt = village_trajectory(num_frames=300, arc=2.7 * np.pi,
                                   orbit_radius=4.0)
     ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.3, seed=1)
     assigner = TrackIdAssigner(max_gap=5)
@@ -46,7 +46,7 @@ def test_village_loop_closure():
     vocab = build_vocabulary(samples, seed=0, kmeans_iters=3)
 
     params = VocTreeParams(non_consider_recent=20, consider_seq_length=5,
-                           threshold=0.3, num_avg_words=30)
+                           threshold=0.25, num_avg_words=30)
     slam = Slam(cfg)
     slam.place_recognizer = PlaceRecognizer(VocTree(vocab, params),
                                             min_matches=8,
