@@ -39,13 +39,29 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save a resumable checkpoint into --out every N "
                         "keyframes (0 = off)")
+    p.add_argument("--mesh-devices", type=int, default=0,
+                   help="run BA/PGO sharded over the first N jax devices")
+    p.add_argument("--multihost", action="store_true",
+                   help="initialize jax.distributed before running")
+    p.add_argument("--coordinator", default=None)
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace to this directory")
 
 
 def _make_config(args):
     from .config import SlamConfig
     import jax
+    if getattr(args, "multihost", False):
+        from .parallel.multihost import initialize_multihost
+        info = initialize_multihost(args.coordinator, args.num_processes,
+                                    args.process_id)
+        print(f"multihost: {info}", file=sys.stderr)
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "profile_dir", None):
+        jax.profiler.start_trace(args.profile_dir)
     platform = jax.devices()[0].platform
     dtype = args.dtype or ("float64" if platform == "cpu" else "float32")
     if dtype == "float64" and platform == "cpu":
@@ -56,6 +72,7 @@ def _make_config(args):
         rseed=args.rseed,
         robust=args.robust,
         compute_dtype=dtype,
+        mesh_devices=getattr(args, "mesh_devices", 0),
     )
 
 
@@ -85,6 +102,9 @@ def _finish(slam, args, gt_rows=None):
                      os.path.join(args.out, "map.png"),
                      gt_trajectory=gt_rows)
 
+    if getattr(args, "profile_dir", None):
+        import jax
+        jax.profiler.stop_trace()
     for k, v in stats.items():
         print(f"  {k}: {v}")
     return stats
