@@ -84,6 +84,11 @@ class SlamConfig:
 
     # TPU-native knobs (no reference analog).
     compute_dtype: str = "float32"       # device kernel dtype
+    # TPU matmuls default to bfloat16 multiplication passes, which destroys
+    # the normal-equation conditioning (measured: house-sim ATE 0.10 m vs
+    # 0.016 m).  "highest" forces full-f32 MXU passes for all solver
+    # matmuls; the kernels stay latency-bound so the cost is negligible.
+    matmul_precision: str = "highest"
     # Distributed execution: 0 = single device; N > 1 = run local BA
     # line-sharded and pose-graph optimization edge-sharded over an
     # N-device mesh (jax.devices()[:N]).

@@ -70,6 +70,9 @@ class Slam:
         self.cfg = config or SlamConfig()
         self.state = MapState()
         self.dtype = jnp.dtype(self.cfg.compute_dtype)
+        if self.cfg.matmul_precision:
+            jax.config.update("jax_default_matmul_precision",
+                              self.cfg.matmul_precision)
 
         self.frame_id = -1
         self.curr_pose = Pose()

@@ -137,8 +137,8 @@ def pose_graph_opt_impl(poses, edges_i, edges_j, constraints, e_valid,
         A = s.H + jnp.diag(lam * diag)
         A = A * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
         rhs = -s.g * m
-        cf = jax.scipy.linalg.cho_factor(A)
-        dx = jax.scipy.linalg.cho_solve(cf, rhs) * m
+        from .schur_ba import _cho_solve_equilibrated
+        dx = _cho_solve_equilibrated(A, rhs) * m
 
         poses_new = s.poses + dx.reshape(-1, 6)
         cost_new, H_n, g_n = _assemble(poses_new, edges_i, edges_j,

@@ -140,6 +140,29 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
     return cost, Hcc, Hll, gc, gl, W
 
 
+def _inv4_equilibrated(Hll_d):
+    """Jacobi-equilibrated batched 4x4 inverse.
+
+    inv(A) = D^-1 inv(D^-1 A D^-1) D^-1 with D = sqrt(diag A): unit-diagonal
+    conditioning before the inverse.  Matters in f32, where the normal
+    equations' squared conditioning otherwise eats most of the mantissa.
+    """
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(Hll_d, axis1=-2, axis2=-1),
+                          1e-12, None))
+    di = 1.0 / d
+    An = Hll_d * di[..., :, None] * di[..., None, :]
+    return jnp.linalg.inv(An) * di[..., :, None] * di[..., None, :]
+
+
+def _cho_solve_equilibrated(S, rhs):
+    """Jacobi-equilibrated dense Cholesky solve (same rationale)."""
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-12, None))
+    di = 1.0 / d
+    Sn = S * di[:, None] * di[None, :]
+    cf = jax.scipy.linalg.cho_factor(Sn)
+    return jax.scipy.linalg.cho_solve(cf, rhs * di) * di
+
+
 def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
     """Solve (H + lam * D^2) delta = -g by Schur elimination of lines."""
     C = Hcc.shape[0]
@@ -153,7 +176,7 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
 
     eye4 = jnp.eye(4, dtype=dtype)
     Hll_d = Hll + lam * diag_l[..., None] * eye4
-    Binv = jnp.linalg.inv(Hll_d)                             # (L,4,4)
+    Binv = _inv4_equilibrated(Hll_d)                         # (L,4,4)
 
     # Reduced camera system S (6C x 6C).
     Wm = jnp.transpose(W, (0, 2, 1, 3)).reshape(C * 6, L * 4)
@@ -171,8 +194,7 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
     S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
     rhs = rhs * m
 
-    cf = jax.scipy.linalg.cho_factor(S)
-    dc = jax.scipy.linalg.cho_solve(cf, rhs).reshape(C, 6)
+    dc = _cho_solve_equilibrated(S, rhs).reshape(C, 6)
 
     # Back-substitute line updates.
     coup = jnp.einsum("clab,ca->lb", W, dc)                  # (L,4)
@@ -317,7 +339,7 @@ def _solve_step_sharded(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f,
     L_loc = Hll.shape[0]
     eye4 = jnp.eye(4, dtype=dtype)
     Hll_d = Hll + lam * diag_l[..., None] * eye4
-    Binv = jnp.linalg.inv(Hll_d)                       # local lines
+    Binv = _inv4_equilibrated(Hll_d)                   # local lines
 
     Wm = jnp.transpose(W, (0, 2, 1, 3)).reshape(C * 6, L_loc * 4)
     X = jnp.einsum("clab,lbd->clad", W, Binv)
@@ -334,8 +356,7 @@ def _solve_step_sharded(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f,
     S = S * m[:, None] * m[None, :] + jnp.diag(1.0 - m)
     rhs = rhs * m
 
-    cf = jax.scipy.linalg.cho_factor(S)
-    dc = jax.scipy.linalg.cho_solve(cf, rhs).reshape(C, 6)
+    dc = _cho_solve_equilibrated(S, rhs).reshape(C, 6)
 
     coup = jnp.einsum("clab,ca->lb", W, dc)
     dl = -jnp.einsum("lab,lb->la", Binv, gl + coup) * line_free_f[:, None]
