@@ -130,6 +130,7 @@ def cmd_sim(args):
     ren = StereoLineRenderer(segs, cfg.camera, noise_px=args.noise_px,
                              seed=args.rseed)
     slam = Slam(cfg)
+    slam.verbose = args.verbose
 
     kf_frames = []
     t0 = time.time()

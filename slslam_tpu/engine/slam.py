@@ -107,6 +107,10 @@ class Slam:
         self.place_recognizer = None
         self.descriptor_source = None
 
+        # per-frame progress logging (the reference's cout lines,
+        # slam.cpp:52,293-294,314,1426); off by default
+        self.verbose = False
+
         # run statistics (reference m_sum_*, slam.cpp:37-39,949-952)
         self.sum_init_cost = 0.0
         self.sum_final_cost = 0.0
@@ -288,6 +292,11 @@ class Slam:
 
         self.final_inliers = {
             comm[k] for k in range(N) if errors[k] < cfg.error_thr}
+
+        if self.verbose:
+            # reference format: "Feature Num: <common>-<ransac>-<final>"
+            print(f"{self.frame_id}:\tFeature Num: {N}-{int(best_score)}"
+                  f"-{len(self.final_inliers)}")
 
         self.stop_watch.tock("pose_estimation")
         return Pose.from_wt(np.asarray(wt, np.float64))
@@ -530,6 +539,11 @@ class Slam:
         self.sum_num_iteration += int(stats.iterations)
         self.sum_init_cost += float(stats.initial_cost)
         self.sum_final_cost += float(stats.final_cost)
+        if self.verbose:
+            print(f"\tBA: {C} cams / {L} lines / {O} obs, "
+                  f"{int(stats.iterations)} iters, cost "
+                  f"{float(stats.initial_cost):.3e} -> "
+                  f"{float(stats.final_cost):.3e}")
 
         if not (np.all(np.isfinite(cam_out)) and
                 np.all(np.isfinite(line_out))):
