@@ -33,14 +33,13 @@ class VOResult(NamedTuple):
     num_inliers_used: jnp.ndarray
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("num_hyp", "sample_size", "robust",
-                                    "max_iters", "line_param"))
-def vo_pipeline(obs0, obs1, lines_av, valid, key, baseline, error_thr,
-                huber_delta, max_t_norm=1.0, num_hyp=256, sample_size=5,
-                robust=True, max_iters=10, line_param="orth"):
-    """Full VO solve.  The caller thresholds final_errors on the host to
-    form the final inlier set and applies the keyframe decision."""
+def vo_body(obs0, obs1, lines_av, valid, key, baseline, error_thr,
+            huber_delta, max_t_norm=1.0, num_hyp=256, sample_size=5,
+            robust=True, max_iters=10, line_param="orth"):
+    """Traced body of the VO solve; also reused inside the device-resident
+    batch engine's scan step (engine/batch.py).  The caller thresholds
+    final_errors on the host to form the final inlier set and applies the
+    keyframe decision."""
     N = obs0.shape[0]
     dtype = obs0.dtype
 
@@ -89,3 +88,8 @@ def vo_pipeline(obs0, obs1, lines_av, valid, key, baseline, error_thr,
 
     return VOResult(wt, best_score, best_wt, final_errors,
                     jnp.sum(inliers.astype(jnp.int32)))
+
+
+vo_pipeline = jax.jit(
+    vo_body, static_argnames=("num_hyp", "sample_size", "robust",
+                              "max_iters", "line_param"))
