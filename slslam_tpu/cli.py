@@ -22,6 +22,11 @@ import time
 
 
 def _add_engine_flags(p: argparse.ArgumentParser):
+    p.add_argument("--engine", choices=("interactive", "batch"),
+                   default="interactive",
+                   help="interactive = per-frame host loop (supports loop "
+                        "closure); batch = whole replay as one device scan "
+                        "(fastest; odometry-chain sequences)")
     p.add_argument("--ba-window-size", type=int, default=10)
     p.add_argument("--max-num-iter", type=int, default=10)
     p.add_argument("--rseed", type=int, default=4)
@@ -110,6 +115,51 @@ def _finish(slam, args, gt_rows=None):
     return stats
 
 
+def _finish_batch(res, args, wall_s, poses_gt=None):
+    """Write outputs + stats for a BatchSlam result (mirrors _finish)."""
+    import numpy as np
+    from .evalio.writers import trajectory_rows, write_landmarks
+
+    stats = dict(res.stats)
+    stats["wall_s"] = round(wall_s, 3)
+    stats["kf_per_s"] = round(res.kf_count / max(wall_s, 1e-9), 3)
+    gt_rows = None
+    if poses_gt is not None and res.kf_count:
+        kf_idx = np.flatnonzero(np.asarray(res.is_kf))
+        T0 = poses_gt[kf_idx[0]]
+        gt_cw = [(poses_gt[i] @ T0.inv()).inv() for i in kf_idx]
+        gt_rows = trajectory_rows(gt_cw)
+        err = [np.linalg.norm(a.t - b.t)
+               for a, b in zip(res.trajectory, gt_cw)]
+        stats["ate_m"] = float(np.mean(err))
+
+    if args.out:
+        os.makedirs(args.out, exist_ok=True)
+        est_rows = trajectory_rows(res.trajectory)
+        np.savetxt(os.path.join(args.out, "trajectory.txt"), est_rows,
+                   delimiter="\t")
+        write_landmarks(os.path.join(args.out, "landmarks.txt"),
+                        res.world_segments(min_len=1.0))
+        if gt_rows is not None:
+            np.savetxt(os.path.join(args.out, "gt_trajectory.txt"), gt_rows,
+                       delimiter="\t")
+        with open(os.path.join(args.out, "stats.json"), "w") as f:
+            json.dump(stats, f, indent=2)
+        if getattr(args, "plot", False):
+            from .viz import plot_map
+            plot_map(res.trajectory,
+                     res.world_segments(min_len=0.5),
+                     os.path.join(args.out, "map.png"),
+                     gt_trajectory=gt_rows)
+
+    if getattr(args, "profile_dir", None):
+        import jax
+        jax.profiler.stop_trace()
+    for k, v in stats.items():
+        print(f"  {k}: {v}")
+    return stats
+
+
 def _maybe_checkpoint(slam, args, n_kfs):
     every = getattr(args, "checkpoint_every", 0)
     if every and args.out and n_kfs % every == 0:
@@ -129,6 +179,20 @@ def cmd_sim(args):
     poses_gt = wave_trajectory(num_frames=args.frames)
     ren = StereoLineRenderer(segs, cfg.camera, noise_px=args.noise_px,
                              seed=args.rseed)
+
+    if args.engine == "batch":
+        from .engine.batch import BatchSlam
+        nf = min(len(poses_gt), args.stopfrm + 1)
+        poses_gt = poses_gt[:nf]
+        frames = [ren.observe(T) for T in poses_gt]
+        t0 = time.time()
+        res = BatchSlam(cfg).run(frames)
+        wall = time.time() - t0
+        print(f"batch-replayed {nf} frames -> {res.kf_count} keyframes "
+              f"in {wall:.1f}s (incl. compile)")
+        _finish_batch(res, args, wall, poses_gt)
+        return
+
     slam = Slam(cfg)
     slam.verbose = args.verbose
 
@@ -161,6 +225,23 @@ def cmd_run(args):
     from .frontend.io import ObsFileLoader
 
     cfg = _make_config(args)
+
+    if args.engine == "batch":
+        from .engine.batch import BatchSlam
+        frames, ids = [], []
+        for frame_id, obs in ObsFileLoader(args.obs_dir):
+            if frame_id > args.stopfrm:
+                break
+            frames.append(obs)
+            ids.append(frame_id)
+        t0 = time.time()
+        res = BatchSlam(cfg).run(frames, frame_ids=ids, normalized=False)
+        wall = time.time() - t0
+        print(f"batch-replayed {len(frames)} frames -> {res.kf_count} "
+              f"keyframes in {wall:.1f}s (incl. compile)")
+        _finish_batch(res, args, wall)
+        return
+
     slam = Slam(cfg)
     loader = ObsFileLoader(args.obs_dir)
 

@@ -89,6 +89,19 @@ class SlamConfig:
     # 0.016 m).  "highest" forces full-f32 MXU passes for all solver
     # matmuls; the kernels stay latency-bound so the cost is negligible.
     matmul_precision: str = "highest"
+    # Deterministic keyed jitter added to FREE line parameters at BA entry
+    # (an annealing knob; 0 = off, the default).  Investigation notes: the
+    # every-frame-keyframe replay workload has a weakly observable mode —
+    # camera translation along the dominant scene-line direction trades off
+    # against a common line shift, so the first ~dozen edges inherit frozen
+    # stereo-triangulation noise (~0.15 m/line at 6 m depth, 0.12 m
+    # baseline) projected onto that mode (~0.03 m/edge) and freeze before
+    # windowed BA heals the map (seed-dependent ATE 0.01-0.34 m over 400
+    # frames; the reference's window policy, slam.cpp:1374-1382, freezes
+    # identically).  This jitter was tested as a mitigation and does NOT
+    # help (the basin is re-entered within one solve); the structural fix
+    # is the post-replay global refinement pass.
+    ba_init_jitter: float = 0.0
     # Distributed execution: 0 = single device; N > 1 = run local BA
     # line-sharded and pose-graph optimization edge-sharded over an
     # N-device mesh (jax.devices()[:N]).

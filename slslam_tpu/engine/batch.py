@@ -464,6 +464,15 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
                        "asd": geo.asd_to_av}[cfg.line_param]
                 line_p4 = enc(jnp.where(lm_active[..., None], lm_line,
                                         benign))
+                if cfg.ba_init_jitter:
+                    # deterministic annealing jitter on free lines only
+                    # (see SlamConfig.ba_init_jitter)
+                    jkey = jax.random.fold_in(
+                        jax.random.fold_in(base_key, fidx), 0x0B0A)
+                    line_p4 = line_p4 + (
+                        cfg.ba_init_jitter
+                        * jax.random.normal(jkey, line_p4.shape, dtype)
+                        * qualify[:, None].astype(dtype))
 
                 ob = win_obs.reshape(Wn * Om, 8)
                 ocam = jnp.repeat(jnp.arange(Wn, dtype=jnp.int32), Om)

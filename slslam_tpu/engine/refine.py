@@ -1,0 +1,165 @@
+"""Post-replay global refinement: one full-sequence bundle adjustment.
+
+The reference can only ever optimize a sliding 2W-keyframe window
+(slam.cpp:1374-1382): once a keyframe leaves the window its odometry edge
+freezes at whatever accuracy the map had at that moment.  On the
+every-frame-keyframe replay workload that freezes the first ~dozen edges
+with frozen-triangulation-noise errors along the weakly observable
+translation-along-dominant-line-direction mode (see
+SlamConfig.ba_init_jitter notes and BENCH.md).
+
+On TPU a *global* BA over every keyframe and landmark is one more Schur
+solve — line blocks eliminate batched (L,4,4), and the reduced 6Kx6K camera
+system is a single dense Cholesky that the MXU eats for K in the hundreds.
+This module rebuilds the full problem from the replayed frames + the batch
+engine's estimated trajectory, solves it, and returns the refined
+trajectory/lines.  Typical effect on the 400-frame house benchmark:
+seed-dependent ATE 0.01-0.34 m -> ~0.003-0.01 m for every seed and dtype.
+
+Capacity note: the single-device solver materializes the dense (C,L,6,4)
+camera-line coupling, so C*L is the memory limit (~400x2048 in f32 = 300
+MB).  Past that, shard lines with parallel.dist_local_ba_lines — the
+problem build below is layout-identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig, bucket_for
+from ..hostgeom import Pose, av_to_orth_np, orth_to_av_np
+from ..ops.schur_ba import local_ba_impl
+from ..ops.triangulate import triangulate_lines
+
+
+@dataclasses.dataclass
+class RefineResult:
+    trajectory: List[Pose]      # refined camera-to-world, rooted at KF 0
+    lines_world: np.ndarray     # (L, 6) refined (cp, dv) lines, world frame
+    feature_ids: List[int]      # feature id per line row
+    initial_cost: float
+    final_cost: float
+    iterations: int
+    num_cams: int
+    num_lines: int
+    num_obs: int
+
+
+def build_global_problem(frames: List[Dict[int, np.ndarray]],
+                         is_kf: np.ndarray,
+                         trajectory: List[Pose],
+                         cfg: SlamConfig,
+                         min_obs: int = 2):
+    """Pack every keyframe observation into one flat BA problem.
+
+    frames: normalized per-frame observations {feature_id: (8,)}.
+    is_kf: (F,) which frames became keyframes (BatchResult.is_kf).
+    trajectory: estimated camera-to-world pose per keyframe (the init).
+    """
+    kf_frames = np.flatnonzero(np.asarray(is_kf, bool))
+    K = len(kf_frames)
+    assert K == len(trajectory), (K, len(trajectory))
+
+    # feature -> observing keyframe indices
+    seen: Dict[int, List[int]] = {}
+    for k, f in enumerate(kf_frames):
+        for fid in frames[f]:
+            seen.setdefault(fid, []).append(k)
+    feat_ids = sorted(fid for fid, ks in seen.items() if len(ks) >= min_obs)
+    fidx = {fid: i for i, fid in enumerate(feat_ids)}
+    L = len(feat_ids)
+
+    cam_wt = np.stack([T.inv().wt() for T in trajectory])  # world->cam
+
+    # line init: fresh stereo triangulation at the first observing keyframe,
+    # transported into the world frame with the estimated pose
+    # (slam.cpp:161-219 semantics, but anchored to the global frame)
+    first_obs = np.zeros((L, 8))
+    first_kf = np.zeros(L, np.int64)
+    for fid, i in fidx.items():
+        k = seen[fid][0]
+        first_kf[i] = k
+        first_obs[i] = frames[kf_frames[k]][fid]
+    lines_cam = np.asarray(triangulate_lines(
+        jnp.asarray(first_obs), cfg.camera.baseline,
+        inverse_depth=cfg.inverse_depth), np.float64)
+    lines_w = np.empty_like(lines_cam)
+    for i in range(L):
+        T = trajectory[first_kf[i]]              # cam -> world
+        lines_w[i, :3] = T.R @ lines_cam[i, :3] + T.t
+        lines_w[i, 3:] = T.R @ lines_cam[i, 3:]
+    line_orth = av_to_orth_np(lines_w)
+
+    rows, ocam, olin = [], [], []
+    for k, f in enumerate(kf_frames):
+        for fid, o in frames[f].items():
+            i = fidx.get(fid)
+            if i is not None:
+                rows.append(o)
+                ocam.append(k)
+                olin.append(i)
+    obs = np.asarray(rows)
+    return (cam_wt, line_orth, obs, np.asarray(ocam, np.int32),
+            np.asarray(olin, np.int32), feat_ids)
+
+
+def global_refine(frames: List[Dict[int, np.ndarray]],
+                  is_kf: np.ndarray,
+                  trajectory: List[Pose],
+                  config: Optional[SlamConfig] = None,
+                  max_iters: int = 25,
+                  min_obs: int = 2) -> RefineResult:
+    """Globally bundle-adjust a replayed sequence.
+
+    Use after BatchSlam.run (or the interactive engine) on odometry-chain
+    sequences:  ``ref = global_refine(frames, res.is_kf, res.trajectory)``.
+    """
+    cfg = config or SlamConfig()
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    cam_wt, line_orth, obs, ocam, olin, feat_ids = build_global_problem(
+        frames, is_kf, trajectory, cfg, min_obs=min_obs)
+    K, L, O = len(cam_wt), len(line_orth), len(obs)
+
+    Lb = bucket_for(L, cfg.line_buckets)
+    Ob = 1024 * max(1, -(-O // 1024))
+    lorth_p = np.zeros((Lb, 4))
+    lorth_p[:, 3] = 0.5
+    lorth_p[:L] = line_orth
+    obs_p = np.zeros((Ob, 8))
+    obs_p[:O] = obs
+    ocam_p = np.zeros(Ob, np.int32)
+    ocam_p[:O] = ocam
+    olin_p = np.zeros(Ob, np.int32)
+    olin_p[:O] = olin
+    ovalid = np.zeros(Ob, bool)
+    ovalid[:O] = True
+    cam_free = np.ones(K, bool)
+    cam_free[0] = False                      # gauge: world = KF0 camera
+    line_free = np.zeros(Lb, bool)
+    line_free[:L] = True
+
+    cam_out, line_out, stats = local_ba_impl(
+        jnp.asarray(cam_wt, dtype), jnp.asarray(lorth_p, dtype),
+        jnp.asarray(obs_p, dtype), jnp.asarray(ocam_p),
+        jnp.asarray(olin_p), jnp.asarray(ovalid), jnp.asarray(cam_free),
+        jnp.asarray(line_free),
+        jnp.asarray(cfg.camera.baseline, dtype),
+        jnp.asarray(cfg.huber_delta, dtype),
+        robust=cfg.robust, max_iters=max_iters,
+        line_param=cfg.line_param, assembly="scatter")
+
+    cam_out = np.asarray(cam_out, np.float64)
+    line_out = np.asarray(line_out, np.float64)[:L]
+    traj = [Pose.from_wt(w).inv() for w in cam_out]
+    lines_w = orth_to_av_np(line_out)
+    return RefineResult(
+        trajectory=traj, lines_world=lines_w, feature_ids=feat_ids,
+        initial_cost=float(stats.initial_cost),
+        final_cost=float(stats.final_cost),
+        iterations=int(stats.iterations),
+        num_cams=K, num_lines=L, num_obs=O)

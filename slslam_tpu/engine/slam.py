@@ -487,6 +487,12 @@ class Slam:
         lorth = np.zeros((Lb, 4))
         lorth[:, 3] = 0.5
         lorth[:L] = line_orth
+        if cfg.ba_init_jitter:
+            # deterministic annealing jitter on free lines only
+            # (see SlamConfig.ba_init_jitter)
+            jrng = np.random.default_rng(
+                (cfg.rseed, self.frame_id, 0x0B0A))
+            lorth[:L] += cfg.ba_init_jitter * jrng.standard_normal((L, 4))
         line_free = np.zeros(Lb, bool)
         line_free[:L] = True
 
