@@ -41,6 +41,11 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     p.add_argument("--out", default=None, help="output directory")
     p.add_argument("--plot", action="store_true",
                    help="write a map.png rendering into --out")
+    p.add_argument("--refine", action="store_true",
+                   help="batch engine: follow the replay with one global "
+                        "bundle adjustment over every keyframe (engine/"
+                        "refine.py) — impossible in the reference's "
+                        "sliding-window-only design")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="save a resumable checkpoint into --out every N "
                         "keyframes (0 = off)")
@@ -115,7 +120,23 @@ def _finish(slam, args, gt_rows=None):
     return stats
 
 
-def _finish_batch(res, args, wall_s, poses_gt=None):
+def _refine_batch(res, frames, args, stats):
+    """Run the post-replay global BA (engine/refine.py) and record stats."""
+    from .engine.refine import global_refine
+
+    t0 = time.time()
+    ref = global_refine(frames, res.is_kf, res.trajectory,
+                        config=_make_config(args))
+    stats["refine_wall_s"] = round(time.time() - t0, 3)
+    stats["refine_iterations"] = ref.iterations
+    stats["refine_initial_cost"] = ref.initial_cost
+    stats["refine_final_cost"] = ref.final_cost
+    stats["refine_num_cams"] = ref.num_cams
+    stats["refine_num_obs"] = ref.num_obs
+    return ref
+
+
+def _finish_batch(res, args, wall_s, poses_gt=None, frames=None):
     """Write outputs + stats for a BatchSlam result (mirrors _finish)."""
     import numpy as np
     from .evalio.writers import trajectory_rows, write_landmarks
@@ -123,6 +144,11 @@ def _finish_batch(res, args, wall_s, poses_gt=None):
     stats = dict(res.stats)
     stats["wall_s"] = round(wall_s, 3)
     stats["kf_per_s"] = round(res.kf_count / max(wall_s, 1e-9), 3)
+
+    ref = None
+    if getattr(args, "refine", False) and frames is not None and res.kf_count:
+        ref = _refine_batch(res, frames, args, stats)
+
     gt_rows = None
     if poses_gt is not None and res.kf_count:
         kf_idx = np.flatnonzero(np.asarray(res.is_kf))
@@ -132,6 +158,10 @@ def _finish_batch(res, args, wall_s, poses_gt=None):
         err = [np.linalg.norm(a.t - b.t)
                for a, b in zip(res.trajectory, gt_cw)]
         stats["ate_m"] = float(np.mean(err))
+        if ref is not None:
+            err = [np.linalg.norm(a.t - b.t)
+                   for a, b in zip(ref.trajectory, gt_cw)]
+            stats["refine_ate_m"] = float(np.mean(err))
 
     if args.out:
         os.makedirs(args.out, exist_ok=True)
@@ -140,6 +170,9 @@ def _finish_batch(res, args, wall_s, poses_gt=None):
                    delimiter="\t")
         write_landmarks(os.path.join(args.out, "landmarks.txt"),
                         res.world_segments(min_len=1.0))
+        if ref is not None:
+            np.savetxt(os.path.join(args.out, "trajectory_refined.txt"),
+                       trajectory_rows(ref.trajectory), delimiter="\t")
         if gt_rows is not None:
             np.savetxt(os.path.join(args.out, "gt_trajectory.txt"), gt_rows,
                        delimiter="\t")
@@ -190,7 +223,7 @@ def cmd_sim(args):
         wall = time.time() - t0
         print(f"batch-replayed {nf} frames -> {res.kf_count} keyframes "
               f"in {wall:.1f}s (incl. compile)")
-        _finish_batch(res, args, wall, poses_gt)
+        _finish_batch(res, args, wall, poses_gt, frames=frames)
         return
 
     slam = Slam(cfg)
@@ -234,12 +267,14 @@ def cmd_run(args):
                 break
             frames.append(obs)
             ids.append(frame_id)
+        from .engine.batch import normalize_frames
+        frames = normalize_frames(frames, cfg.camera)
         t0 = time.time()
-        res = BatchSlam(cfg).run(frames, frame_ids=ids, normalized=False)
+        res = BatchSlam(cfg).run(frames, frame_ids=ids)
         wall = time.time() - t0
         print(f"batch-replayed {len(frames)} frames -> {res.kf_count} "
               f"keyframes in {wall:.1f}s (incl. compile)")
-        _finish_batch(res, args, wall)
+        _finish_batch(res, args, wall, frames=frames)
         return
 
     slam = Slam(cfg)

@@ -551,6 +551,21 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
 # Public driver
 # ---------------------------------------------------------------------------
 
+def normalize_frames(frames: List[Dict[int, np.ndarray]],
+                     cam) -> List[Dict[int, np.ndarray]]:
+    """Pixel endpoints -> normalized camera coords (slam.cpp:121-128)."""
+    conv = []
+    for fr in frames:
+        d = {}
+        for fid, o in fr.items():
+            o = np.asarray(o, np.float64).copy()
+            o[0::2] = o[0::2] / cam.fx - cam.cx / cam.fx
+            o[1::2] = o[1::2] / cam.fy - cam.cy / cam.fy
+            d[fid] = o
+        conv.append(d)
+    return conv
+
+
 class RetiredLandmark(NamedTuple):
     line: np.ndarray   # (6,) in the frame of keyframe `kf`
     tt: np.ndarray     # (2,)
@@ -629,17 +644,7 @@ class BatchSlam:
             lifetime: Optional[int] = None) -> BatchResult:
         cfg = self.cfg
         if not normalized:
-            cam = cfg.camera
-            conv = []
-            for fr in frames:
-                d = {}
-                for fid, o in fr.items():
-                    o = np.asarray(o, np.float64).copy()
-                    o[0::2] = o[0::2] / cam.fx - cam.cx / cam.fx
-                    o[1::2] = o[1::2] / cam.fy - cam.cy / cam.fy
-                    d[fid] = o
-                conv.append(d)
-            frames = conv
+            frames = normalize_frames(frames, cfg.camera)
 
         pack = pack_frames(frames, window=cfg.ba_window_size,
                            frame_ids=frame_ids, lifetime=lifetime)

@@ -1,0 +1,100 @@
+"""Post-replay global bundle adjustment (engine/refine.py).
+
+The reference only ever optimizes a sliding 2W window
+(/root/reference/src/slam.cpp:1374-1382); a whole-map BA is a capability
+the TPU build adds on top.  These tests check that the global solve (a)
+reduces the total reprojection cost, (b) improves (or at worst preserves)
+ATE against ground truth on the house replay, and (c) keeps the gauge at
+keyframe 0.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from slslam_tpu.config import SlamConfig
+from slslam_tpu.engine.batch import BatchSlam
+from slslam_tpu.engine.refine import build_global_problem, global_refine
+from slslam_tpu.sim import StereoLineRenderer, house_segments, wave_trajectory
+
+
+@pytest.fixture(scope="module")
+def cfg():
+    return dataclasses.replace(
+        SlamConfig(), compute_dtype="float64",
+        kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+
+
+@pytest.fixture(scope="module")
+def replay(cfg):
+    segs = house_segments()
+    poses = wave_trajectory(num_frames=400)[:60]
+    ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.3, seed=4)
+    frames = [ren.observe(T) for T in poses]
+    res = BatchSlam(cfg).run(frames)
+    return frames, poses, res
+
+
+def _ate(traj, poses_gt, is_kf):
+    kf_idx = np.flatnonzero(np.asarray(is_kf))
+    T0 = poses_gt[kf_idx[0]]
+    gt_cw = [(poses_gt[i] @ T0.inv()).inv() for i in kf_idx]
+    return float(np.mean([np.linalg.norm(a.t - b.t)
+                          for a, b in zip(traj, gt_cw)]))
+
+
+class TestBuildGlobalProblem:
+    def test_shapes_and_indices(self, replay, cfg):
+        frames, _, res = replay
+        cam_wt, line_orth, obs, ocam, olin, feat_ids = build_global_problem(
+            frames, res.is_kf, res.trajectory, cfg)
+        K = res.kf_count
+        assert cam_wt.shape == (K, 6)
+        assert line_orth.shape[1] == 4
+        assert obs.shape[1] == 8
+        assert ocam.max() < K and ocam.min() >= 0
+        assert olin.max() < len(line_orth)
+        # every packed line really is observed >= 2x
+        counts = np.bincount(olin, minlength=len(line_orth))
+        assert counts.min() >= 2
+        assert len(feat_ids) == len(line_orth)
+
+    def test_single_obs_features_excluded(self, replay, cfg):
+        frames, _, res = replay
+        # add a feature seen exactly once
+        frames = [dict(f) for f in frames]
+        frames[3][999999] = frames[3][next(iter(frames[3]))].copy()
+        _, line_orth, _, _, _, feat_ids = build_global_problem(
+            frames, res.is_kf, res.trajectory, cfg)
+        assert 999999 not in feat_ids
+
+
+class TestGlobalRefine:
+    def test_cost_decreases_and_gauge_fixed(self, replay, cfg):
+        frames, _, res = replay
+        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        assert ref.final_cost < ref.initial_cost
+        assert ref.num_cams == res.kf_count
+        # gauge: keyframe 0 pinned at identity
+        T0 = ref.trajectory[0]
+        assert np.allclose(T0.R, np.eye(3), atol=1e-12)
+        assert np.allclose(T0.t, 0.0, atol=1e-12)
+
+    def test_ate_improves(self, replay, cfg):
+        frames, poses, res = replay
+        ate0 = _ate(res.trajectory, poses, res.is_kf)
+        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        ate1 = _ate(ref.trajectory, poses, res.is_kf)
+        # the windowed estimator freezes early-edge noise the global solve
+        # can heal (BENCH.md); require a real improvement, not just parity
+        assert ate1 < ate0
+        assert ate1 < 0.05
+
+    def test_refined_lines_fit_better(self, replay, cfg):
+        """Refined landmark lines reproject with lower error than the init."""
+        frames, _, res = replay
+        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        assert ref.num_lines > 10
+        assert ref.num_obs > ref.num_lines * 2
+        assert np.isfinite(ref.lines_world).all()
