@@ -120,13 +120,17 @@ def _finish(slam, args, gt_rows=None):
     return stats
 
 
-def _refine_batch(res, frames, args, stats):
-    """Run the post-replay global BA (engine/refine.py) and record stats."""
+def _refine_batch(res, frames, args, stats, cfg):
+    """Run the post-replay global BA (engine/refine.py) and record stats.
+
+    Takes the already-constructed config: _make_config has one-shot side
+    effects (jax.profiler.start_trace, jax.distributed.initialize) that
+    raise if run twice.
+    """
     from .engine.refine import global_refine
 
     t0 = time.time()
-    ref = global_refine(frames, res.is_kf, res.trajectory,
-                        config=_make_config(args))
+    ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
     stats["refine_wall_s"] = round(time.time() - t0, 3)
     stats["refine_iterations"] = ref.iterations
     stats["refine_initial_cost"] = ref.initial_cost
@@ -136,7 +140,7 @@ def _refine_batch(res, frames, args, stats):
     return ref
 
 
-def _finish_batch(res, args, wall_s, poses_gt=None, frames=None):
+def _finish_batch(res, args, wall_s, poses_gt=None, frames=None, cfg=None):
     """Write outputs + stats for a BatchSlam result (mirrors _finish)."""
     import numpy as np
     from .evalio.writers import trajectory_rows, write_landmarks
@@ -147,7 +151,8 @@ def _finish_batch(res, args, wall_s, poses_gt=None, frames=None):
 
     ref = None
     if getattr(args, "refine", False) and frames is not None and res.kf_count:
-        ref = _refine_batch(res, frames, args, stats)
+        from .config import SlamConfig
+        ref = _refine_batch(res, frames, args, stats, cfg or SlamConfig())
 
     gt_rows = None
     if poses_gt is not None and res.kf_count:
@@ -223,9 +228,12 @@ def cmd_sim(args):
         wall = time.time() - t0
         print(f"batch-replayed {nf} frames -> {res.kf_count} keyframes "
               f"in {wall:.1f}s (incl. compile)")
-        _finish_batch(res, args, wall, poses_gt, frames=frames)
+        _finish_batch(res, args, wall, poses_gt, frames=frames, cfg=cfg)
         return
 
+    if getattr(args, "refine", False):
+        print("warning: --refine only applies to --engine batch; ignored "
+              "on the interactive engine", file=sys.stderr)
     slam = Slam(cfg)
     slam.verbose = args.verbose
 
@@ -274,9 +282,12 @@ def cmd_run(args):
         wall = time.time() - t0
         print(f"batch-replayed {len(frames)} frames -> {res.kf_count} "
               f"keyframes in {wall:.1f}s (incl. compile)")
-        _finish_batch(res, args, wall, frames=frames)
+        _finish_batch(res, args, wall, frames=frames, cfg=cfg)
         return
 
+    if getattr(args, "refine", False):
+        print("warning: --refine only applies to --engine batch; ignored "
+              "on the interactive engine", file=sys.stderr)
     slam = Slam(cfg)
     loader = ObsFileLoader(args.obs_dir)
 
