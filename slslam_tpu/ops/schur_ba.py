@@ -46,6 +46,23 @@ _MAX_DIAG = 1e32
 _INIT_RADIUS = 1e4
 _MIN_RELATIVE_DECREASE = 1e-3
 _FUNCTION_TOL = 1e-6
+_PARAM_TOL = 1e-8
+
+
+def _tolerances(dtype):
+    """Ceres tolerances, floored at the dtype's resolution.
+
+    Ceres defaults: function_tolerance 1e-6, parameter_tolerance 1e-8 —
+    both below f32 epsilon (1.2e-7), so in f32 they can never fire and
+    every solve runs to the iteration cap (measured: steady-state 7.6
+    avg iterations in f32 vs 3 in f64 on the house replay).  A relative
+    cost change below ~64 eps is numerical noise in any dtype, so floor
+    the tolerances there; in f64 the Ceres values are unchanged.
+    """
+    eps = float(jnp.finfo(dtype).eps)
+    ftol = max(_FUNCTION_TOL, 64.0 * eps)
+    ptol = max(_PARAM_TOL, 8.0 * eps)
+    return ftol, ptol
 
 
 class BAStats(NamedTuple):
@@ -69,13 +86,12 @@ def _robust_weights(r, huber_delta, robust):
 
 def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
                  cam_free_f, line_free_f, baseline, huber_delta, robust,
-                 axis_name=None, line_param="orth", assembly="scatter"):
+                 line_param="orth", assembly="scatter"):
     """Residuals, robustified cost, and all normal-equation blocks.
 
-    With `axis_name` set, observations are sharded over that mesh axis:
-    each shard assembles its partial blocks which are reduced with psum —
-    the distributed-BA pattern (SURVEY.md §5: per-block Schur reduction over
-    ICI collectives).  Parameters (cameras/lines) are replicated.
+    Memory note: this materializes the dense (C, L, 6, 4) coupling W —
+    exact and fast at window scale.  For global solves past C*L ~ 1e6 use
+    ops/schur_cg.py (matrix-free Schur, linear memory).
     """
     C = cam_wt.shape[0]
     L = line_orth.shape[0]
@@ -132,10 +148,6 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
         gc = jnp.zeros((C, 6), r.dtype).at[obs_cam].add(gc_o)
         gl = jnp.zeros((L, 4), r.dtype).at[obs_line].add(gl_o)
         W = jnp.zeros((C, L, 6, 4), r.dtype).at[obs_cam, obs_line].add(Wb)
-
-    if axis_name is not None:
-        cost, Hcc, Hll, gc, gl, W = jax.lax.psum(
-            (cost, Hcc, Hll, gc, gl, W), axis_name)
 
     return cost, Hcc, Hll, gc, gl, W
 
@@ -210,7 +222,7 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
 
 def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                   cam_free, line_free, baseline, huber_delta,
-                  robust=True, max_iters=10, axis_name=None,
+                  robust=True, max_iters=10,
                   line_param="orth", assembly=None):
     """Run windowed local BA.  All shapes static (padded).
 
@@ -234,6 +246,7 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
         assembly = ("onehot" if jax.default_backend() not in ("cpu",)
                     else "scatter")
     dtype = cam_wt.dtype
+    ftol, ptol = _tolerances(dtype)
     cam_free_f = cam_free.astype(dtype)
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
@@ -241,8 +254,8 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     def evaluate(cw, lo):
         return _eval_system(cw, lo, obs, obs_cam, obs_line, w_valid,
                             cam_free_f, line_free_f, baseline, huber_delta,
-                            robust, axis_name=axis_name,
-                            line_param=line_param, assembly=assembly)
+                            robust, line_param=line_param,
+                            assembly=assembly)
 
     cost0, Hcc, Hll, gc, gl, W = evaluate(cam_wt, line_orth)
 
@@ -291,8 +304,14 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                            jnp.maximum(radius_rej, 1e-32))
         dec = jnp.where(accept, 2.0, s.decrease_factor * 2.0)
 
-        converged = jnp.logical_and(
-            accept, jnp.abs(s.cost - cost_new) <= _FUNCTION_TOL * s.cost)
+        # Ceres termination: function tolerance on the accepted cost change
+        # and parameter tolerance on the step size (dtype-floored; see
+        # _tolerances).
+        fconv = jnp.abs(s.cost - cost_new) <= ftol * s.cost
+        xnorm = jnp.sqrt(jnp.sum(s.cam * s.cam) + jnp.sum(s.line * s.line))
+        snorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
+        pconv = snorm <= ptol * (xnorm + ptol)
+        converged = jnp.logical_and(accept, jnp.logical_or(fconv, pconv))
 
         return _S(
             jnp.where(accept, cam_new, s.cam),
@@ -311,7 +330,7 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
 
 
 local_ba = jax.jit(local_ba_impl, static_argnames=("robust", "max_iters",
-                                                   "axis_name", "line_param",
+                                                   "line_param",
                                                    "assembly"))
 
 
@@ -386,6 +405,7 @@ def local_ba_sharded_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
         assembly = ("onehot" if jax.default_backend() not in ("cpu",)
                     else "scatter")
     dtype = cam_wt.dtype
+    ftol, ptol = _tolerances(dtype)
     cam_free_f = cam_free.astype(dtype)
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
@@ -394,7 +414,7 @@ def local_ba_sharded_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
         cost, Hcc, Hll, gc, gl, W = _eval_system(
             cw, lo, obs, obs_cam, obs_line, w_valid, cam_free_f,
             line_free_f, baseline, huber_delta, robust,
-            axis_name=None, line_param=line_param, assembly=assembly)
+            line_param=line_param, assembly=assembly)
         cost, Hcc, gc = jax.lax.psum((cost, Hcc, gc), axis_name)
         return cost, Hcc, Hll, gc, gl, W
 
@@ -444,8 +464,14 @@ def local_ba_sharded_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
                         1e16),
             jnp.maximum(s.radius / s.decrease_factor, 1e-32))
         dec = jnp.where(accept, 2.0, s.decrease_factor * 2.0)
-        converged = jnp.logical_and(
-            accept, jnp.abs(s.cost - cost_new) <= _FUNCTION_TOL * s.cost)
+        fconv = jnp.abs(s.cost - cost_new) <= ftol * s.cost
+        # norms of the sharded line blocks reduce over the mesh axis
+        xnorm = jnp.sqrt(jnp.sum(s.cam * s.cam)
+                         + jax.lax.psum(jnp.sum(s.line * s.line), axis_name))
+        snorm = jnp.sqrt(jnp.sum(dc * dc)
+                         + jax.lax.psum(jnp.sum(dl * dl), axis_name))
+        pconv = snorm <= ptol * (xnorm + ptol)
+        converged = jnp.logical_and(accept, jnp.logical_or(fconv, pconv))
 
         return _S(jnp.where(accept, cam_new, s.cam),
                   jnp.where(accept, line_new, s.line),

@@ -14,6 +14,31 @@ from slslam_tpu.sim import StereoLineRenderer, house_segments, wave_trajectory
 CAM = CameraConfig()
 BL = CAM.baseline
 
+_ENGINE_ITERS_CACHE = {}
+
+
+def _engine_avg_iters(line_param, frames_n=80):
+    """Batch-engine replay of the study workload; per-frame BA iteration
+    stats (cached per parameterization — the compile dominates)."""
+    if line_param in _ENGINE_ITERS_CACHE:
+        return _ENGINE_ITERS_CACHE[line_param]
+    import dataclasses
+    from slslam_tpu.config import SlamConfig
+    from slslam_tpu.engine.batch import BatchSlam
+
+    cfg = dataclasses.replace(SlamConfig(), compute_dtype="float64",
+                              kf_rot_thr=1e-9, kf_tr_thr=1e-9,
+                              line_param=line_param)
+    segs = house_segments()
+    poses = wave_trajectory(num_frames=400)[:frames_n]
+    ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.2, seed=4)
+    res = BatchSlam(cfg).run([ren.observe(T) for T in poses])
+    it = res.per_frame["ba_iters"]
+    out = {"avg": float(it[1:].mean()),
+           "steady": float(it[frames_n // 2:].mean())}
+    _ENGINE_ITERS_CACHE[line_param] = out
+    return out
+
 
 def make_problem(num_cams=4, noise_px=0.0, seed=0, frame_step=6):
     """Build a BA problem from the house sim with ground truth."""
@@ -125,11 +150,31 @@ class TestLocalBA:
         assert float(stats.final_cost) < float(stats.initial_cost) * 0.5
 
     def test_iteration_counts_in_family(self):
-        # The reference's orthonormal parameterization converges in ~2-6 LM
-        # iterations (BASELINE.md §1); our solver must be in that family.
-        _, _, stats, _, _ = self._run(noise_px=0.3, cam_sigma=0.01,
-                                      line_sigma=0.003)
-        assert int(stats.iterations) <= 10
+        """BASELINE.md §1 (the paper's core claim): the orthonormal
+        parameterization converges in ~2-6 LM iterations per windowed
+        solve, where alternatives run toward the cap.
+
+        Measured at the engine level on the study workload (house world,
+        0.2 px noise, every frame a keyframe): the first ~35 solves are
+        the window-filling transient (weakly observable, runs to the cap,
+        like the reference's own early frames); steady state must sit in
+        the 2-6 family.  The aid parameterization converges slower
+        (measured steady ~5.5 vs orth ~3.2), matching the paper's
+        ordering; asd diverges (experimental in the reference too,
+        gc.cpp:265-356).
+        """
+        orth = _engine_avg_iters("orth")
+        assert orth["steady"] <= 6.0, orth
+        assert orth["steady"] >= 1.0, orth
+
+    def test_orth_converges_faster_than_aid(self):
+        """Param-study regression: orth needs fewer steady-state LM
+        iterations than aid on the same replay (BASELINE.md §1 family
+        ordering; the reference's slow param there is ancdir, which was
+        never released — aid is its in-repo stand-in)."""
+        orth = _engine_avg_iters("orth")
+        aid = _engine_avg_iters("aid")
+        assert orth["steady"] < aid["steady"], (orth, aid)
 
     def test_fixed_cameras_stay_fixed(self):
         cam, line, stats, cam_gt, orth_gt = self._run(
