@@ -1,13 +1,18 @@
-"""Distributed windowed bundle adjustment.
+"""Distributed windowed bundle adjustment (line-sharded).
 
 Scaling model (SURVEY.md §5 "long-context" analog): the map-scaling axis is
-the observation set.  Observations are sharded over the mesh's data axis;
-each device assembles its partial normal-equation blocks (camera 6x6 blocks,
-line 4x4 blocks, cam-line couplings) from its shard and the blocks are
-reduced with `psum` over ICI.  The Schur-reduced camera system (6C x 6C,
-small) is then solved replicated on every device — the standard
-"reduce-then-redundant-solve" pattern for small reduced systems, costing one
-allreduce per LM iteration and no other communication.
+the landmark/observation set.  Lines and their observations shard over the
+mesh; every shard eliminates its own 4x4 line blocks, and per LM iteration
+the only collectives are one psum of {cost, Hcc (C,6,6), gc (C,6)} at
+evaluation and one psum of the (6C x 6C) reduced-system coupling at the
+solve — **communication independent of the number of lines/observations**
+(asserted from compiled HLO in tests/test_distributed.py).  The reduced
+camera system is solved replicated on every device — the standard
+"reduce-then-redundant-solve" pattern for small reduced systems.
+
+An observation-sharded layout existed in round 1 but psummed the full
+(C, L, 6, 4) coupling every iteration — communication growing with map
+size; it was retired in favor of this one (VERDICT.md round 1, item 4).
 
 The whole LM loop (jax.lax.while_loop) runs inside shard_map, so a complete
 distributed solve is a single XLA program with fused collectives.
@@ -30,43 +35,6 @@ def make_mesh(devices=None, axis_name=AXIS) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     import numpy as np
     return Mesh(np.array(devices), (axis_name,))
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("mesh", "robust", "max_iters"))
-def dist_local_ba(mesh, cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
-                  cam_free, line_free, baseline, huber_delta,
-                  robust=True, max_iters=10):
-    """Same contract as ops.schur_ba.local_ba, executed sharded over `mesh`.
-
-    The observation arrays' leading dimension must be divisible by the mesh
-    size (pad with obs_valid=False rows; capacity buckets are powers of two
-    so this holds for any power-of-two mesh).
-    """
-
-    def inner(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
-              cam_free, line_free, baseline, huber_delta):
-        return schur_ba.local_ba_impl(
-            cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
-            cam_free, line_free, baseline, huber_delta,
-            robust=robust, max_iters=max_iters, axis_name=AXIS)
-
-    sharded = jax.shard_map(
-        inner, mesh=mesh,
-        in_specs=(P(), P(), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                  P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
-        check_vma=False)
-
-    return sharded(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
-                   cam_free, line_free,
-                   jnp.asarray(baseline, cam_wt.dtype),
-                   jnp.asarray(huber_delta, cam_wt.dtype))
-
-
-# ---------------------------------------------------------------------------
-# Line-sharded distributed BA (the scalable layout)
-# ---------------------------------------------------------------------------
 
 def partition_by_line(line_orth, line_free, obs, obs_cam, obs_line,
                       obs_valid, n_shards):

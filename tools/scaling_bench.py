@@ -1,6 +1,6 @@
 """Distributed scaling measurement for the BA and PGO solvers.
 
-Measures wall-clock of `dist_local_ba` / `dist_pose_graph_opt` at mesh sizes
+Measures wall-clock of `dist_local_ba_lines` / `dist_pose_graph_opt` at mesh sizes
 1, 2, 4, 8 and reports scaling efficiency (the BASELINE.json target:
 >= 80% frames/s efficiency at 2 hosts).  On real hardware, run under a pod
 slice; in this environment the 8-device CPU mesh validates the sharding and
