@@ -45,13 +45,31 @@ DESC_DIM = 72
 
 @dataclasses.dataclass
 class VocTreeParams:
-    """Indoor preset (voctree_bf.h:24-29); outdoor variants :31-43."""
+    """Indoor preset (voctree_bf.h:24-29); outdoor variants :31-43 via
+    the factory classmethods."""
 
     non_consider_recent: int = 40
     sigma: float = 1.0
     threshold: float = 0.7
     consider_seq_length: int = 10
     num_avg_words: int = 50
+
+    @classmethod
+    def indoor(cls) -> "VocTreeParams":
+        """voctree_bf.h:24-29 (the compiled-in default)."""
+        return cls()
+
+    @classmethod
+    def outdoor(cls) -> "VocTreeParams":
+        """voctree_bf.h:31-36."""
+        return cls(non_consider_recent=100, sigma=0.8, threshold=0.8,
+                   consider_seq_length=15)
+
+    @classmethod
+    def outdoor_long_loop(cls) -> "VocTreeParams":
+        """voctree_bf.h:38-43."""
+        return cls(non_consider_recent=300, sigma=0.8, threshold=0.5,
+                   consider_seq_length=5)
 
 
 @jax.jit

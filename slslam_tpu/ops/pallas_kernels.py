@@ -66,14 +66,14 @@ def segment_sum_pallas(values, idx, num_segments, tile_p=256, chunk=512,
         grid=(P_pad // tile_p, O // chunk),
         in_specs=[
             pl.BlockSpec((chunk, 1), lambda p, o: (o, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
             pl.BlockSpec((chunk, D), lambda p, o: (o, 0),
-                         memory_space=pltpu.ANY
+                         memory_space=pl.ANY
                          if interpret else pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((tile_p, D), lambda p, o: (p, 0),
-                               memory_space=pltpu.ANY
+                               memory_space=pl.ANY
                                if interpret else pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P_pad, D), values.dtype),
         interpret=interpret,
