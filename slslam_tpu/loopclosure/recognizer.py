@@ -31,9 +31,20 @@ from .voctree import VocTree
 @jax.jit
 def _mutual_nn(desc_a, desc_b):
     """Mutual nearest-neighbor match scores: (A, D) x (B, D) -> dots,
-    best_b_for_a, best_a_for_b."""
+    best_b_for_a, best_a_for_b.  Padded rows are zero vectors: their dots
+    are 0, below any min_similarity gate, so they never match."""
     dots = desc_a @ desc_b.T
     return dots, jnp.argmax(dots, axis=1), jnp.argmax(dots, axis=0)
+
+
+def _pad_bucket(a, buckets=(32, 64, 128, 256, 512, 1024)):
+    n = len(a)
+    for b in buckets:
+        if n <= b:
+            break
+    out = np.zeros((b, a.shape[1]), a.dtype)
+    out[:n] = a
+    return out
 
 
 class PlaceRecognizer:
@@ -81,15 +92,19 @@ class PlaceRecognizer:
         old_kf, old_ids, old_desc = self.docs[doc]
         if len(old_desc) == 0 or len(descriptors) == 0:
             return None
-        dots, a2b, b2a = _mutual_nn(jnp.asarray(descriptors),
-                                    jnp.asarray(old_desc))
+        # pad to capacity buckets: one jit compile per bucket pair, not one
+        # per keyframe shape
+        dots, a2b, b2a = _mutual_nn(jnp.asarray(_pad_bucket(descriptors)),
+                                    jnp.asarray(_pad_bucket(old_desc)))
         dots = np.asarray(dots)
         a2b = np.asarray(a2b)
         b2a = np.asarray(b2a)
 
         match_result: Dict[int, int] = {}
-        for a, b in enumerate(a2b):
-            if b2a[b] == a and dots[a, b] >= self.min_similarity:
+        for a in range(len(descriptors)):
+            b = a2b[a]
+            if b < len(old_ids) and b2a[b] == a \
+                    and dots[a, b] >= self.min_similarity:
                 match_result[feat_ids[a]] = old_ids[b]
         if len(match_result) < self.min_matches:
             return None

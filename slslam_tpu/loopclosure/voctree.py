@@ -20,17 +20,31 @@ voctree_t<K=40, L=3, D=72>):
   transition table (trans_prob :560-587, calc_post_prob :589-706);
 * loop acceptance: a >= seqlen-consecutive-document posterior run summing
   >= threshold (isLoopClosing :708-748), with the indoor parameter preset
-  (:24-29) as default.
+  (:24-29) as default (outdoor presets :31-43 via the classmethods).
 
-TPU mapping: quantization (find_leaf) is a batched 3-level
-gather + (F, K, D) x (D,) dot-product argmax — one fused jit call for all
-features of a frame.  The inverted file is sparse and mutation-heavy, so it
-stays host-side (it is far off the hot path).
+TPU mapping (SURVEY §2 #16).  The reference's inverted file is a
+leaf -> {doc: weight} hash walked in nested Python-equivalent loops —
+O(docs^2) per keyframe through the Bayes filter.  Here every per-query
+computation is a fixed-shape dense kernel:
+
+* quantization: batched 3-level gather + (F, K, D) x (D,) dot-product
+  argmax, descriptors padded to capacity buckets (no per-frame-shape
+  recompiles);
+* scoring: documents are rows of a (D, F) leaf/weight table; the
+  tf-idf L1 similarity of the query against EVERY document (plus the
+  virtual average document) is one masked equality-einsum — the
+  segment-sum reformulation of the inverted file;
+* the Bayes recursion: the Gaussian transition is a 1-D convolution over
+  the posterior vector — one jitted update per keyframe.
+
+Only insertion bookkeeping (quarantine queue, leaf population counts)
+stays host-side; it is O(features) per keyframe.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Dict, List, Optional, Tuple
 
@@ -41,6 +55,16 @@ import numpy as np
 BRANCH_FACTOR = 40
 LEVELS = 3
 DESC_DIM = 72
+
+_FEAT_BUCKETS = (32, 64, 128, 256, 512, 1024)
+_GAUSS_REACH = 10      # trans_prob cuts the Gaussian at dist >= 10 (:584)
+
+
+def _bucket(n, buckets=_FEAT_BUCKETS):
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
 
 
 @dataclasses.dataclass
@@ -73,11 +97,11 @@ class VocTreeParams:
 
 
 @jax.jit
-def _descend(centroids, feats):
+def _descend(centroids, feats, valid):
     """Batched greedy tree descent.
 
     centroids: (num_int, K, D) internal-node centroid blocks.
-    feats: (F, D) normalized descriptors.
+    feats: (F, D) normalized descriptors (rows past `valid` are padding).
     Returns (F,) leaf indices in global node numbering.
     """
     idx = jnp.zeros(feats.shape[0], jnp.int32)      # root for every feature
@@ -88,12 +112,121 @@ def _descend(centroids, feats):
         dots = jnp.einsum("fkd,fd->fk", blocks, feats)
         best = jnp.argmax(dots, axis=1).astype(jnp.int32)
         idx = idx * K + best + 1                    # child_idx (:99)
-    return idx
+    return jnp.where(valid, idx, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("num_avg",))
+def _score_query(doc_leaves, doc_weights, doc_valid, q_leaves, q_counts,
+                 q_valid, leaf_pop, avg_leaves, have_avg, doc_size,
+                 featcnt, num_avg):
+    """tf-idf L1 scoring of one query against every document + the virtual
+    average document (query_doc, voctree_bf.h:381-558), as dense masked
+    reductions.
+
+    doc_leaves/doc_weights: (D, F) per-document unique leaves (-1 pad) and
+      their weights (count_in_doc / featcnt).
+    q_leaves/q_counts: (Q,) unique query leaves and their multiplicities.
+    leaf_pop: (num_leaf,) number of real documents containing each leaf.
+    avg_leaves: (num_avg,) the average document's leaves (top-populated).
+    Returns (scores (D,), avg_score, hit (D,), likelihood (D,), avg_lhood).
+    """
+    f = doc_weights.dtype
+
+    # docs-per-leaf for the query's leaves, counting the average document
+    # as a member of its leaves (the reference re-inserts doc -1 into the
+    # inverted file before scoring, so idf denominators include it)
+    q_safe = jnp.maximum(q_leaves, 0)
+    in_avg = jnp.any(q_leaves[:, None] == avg_leaves[None, :], axis=1)
+    n_docs_leaf = leaf_pop[q_safe] + jnp.where(
+        jnp.logical_and(have_avg, in_avg), 1, 0)
+    has_docs = jnp.logical_and(q_valid, n_docs_leaf > 0)
+
+    n_docs_total = doc_size + jnp.where(have_avg, 1, 0)
+    idf = jnp.log10(n_docs_total.astype(f)
+                    / jnp.maximum(n_docs_leaf, 1).astype(f))
+    idf = jnp.where(has_docs, idf, 0.0)
+    n_idf = (q_counts.astype(f) / featcnt.astype(f)) * idf      # (Q,)
+
+    # real documents: (Q, D, F) leaf-equality mask -> per (query-leaf, doc)
+    # matched weight m = weight * idf
+    eq = jnp.logical_and(
+        q_leaves[:, None, None] == doc_leaves[None, :, :],
+        has_docs[:, None, None])                                 # (Q,D,F)
+    m = jnp.sum(jnp.where(eq, doc_weights[None, :, :], 0.0), axis=2)
+    m = m * idf[:, None]                                         # (Q,D)
+    touched = jnp.any(eq, axis=2)                                # (Q,D)
+    n_b = n_idf[:, None]
+    l1 = jnp.where(touched, -(jnp.abs(n_b - m) - n_b - m), 0.0)
+    scores = jnp.sum(l1, axis=0) * doc_valid.astype(f)           # (D,)
+    hit = jnp.logical_and(jnp.any(touched, axis=0), doc_valid)
+
+    # the average document: weight 1/num_avg at each of its leaves
+    eq_a = jnp.logical_and(
+        q_leaves[:, None] == avg_leaves[None, :],
+        has_docs[:, None])                                       # (Q,A)
+    m_a = jnp.sum(jnp.where(eq_a, 1.0 / num_avg, 0.0), axis=1) * idf
+    touched_a = jnp.any(eq_a, axis=1)
+    l1_a = jnp.where(touched_a, -(jnp.abs(n_idf - m_a) - n_idf - m_a), 0.0)
+    avg_score = jnp.sum(l1_a) * jnp.where(have_avg, 1.0, 0.0).astype(f)
+    avg_hit = jnp.logical_and(have_avg, jnp.any(touched_a))
+
+    # mean fill-in for untouched docs (n_docs_hit starts at 1, :446)
+    total = jnp.sum(scores) + avg_score
+    n_hit = 1 + jnp.sum(hit.astype(jnp.int32)) + avg_hit.astype(jnp.int32)
+    mean_fill = total / n_hit.astype(f)
+    scores = jnp.where(jnp.logical_and(doc_valid, ~hit), mean_fill, scores)
+    avg_score = jnp.where(jnp.logical_and(have_avg, ~avg_hit), mean_fill,
+                          avg_score)
+
+    # likelihood transform (:517-534) over {avg} + all real docs
+    nd = jnp.sum(doc_valid.astype(f)) + jnp.where(have_avg, 1.0, 0.0)
+    nd = jnp.maximum(nd, 1.0)
+    s_sum = jnp.sum(jnp.where(doc_valid, scores, 0.0)) \
+        + jnp.where(have_avg, avg_score, 0.0)
+    s_sq = jnp.sum(jnp.where(doc_valid, scores * scores, 0.0)) \
+        + jnp.where(have_avg, avg_score * avg_score, 0.0)
+    mean = s_sum / nd
+    std = jnp.sqrt(jnp.maximum(s_sq / nd - mean * mean, 0.0))
+
+    def lhood(s):
+        take = jnp.logical_and(s > mean + 2.0 * std, mean != 0.0)
+        return jnp.where(take, (s - 2.0 * std) / mean, 1.0)
+
+    return scores, avg_score, hit, lhood(scores), lhood(avg_score)
+
+
+@jax.jit
+def _posterior_update(prev, lhood_docs, lhood_avg, doc_valid, gauss):
+    """calc_post_prob (voctree_bf.h:589-706) as one vector update.
+
+    prev: (D+1,) posterior [state -1, doc 0, doc 1, ...].
+    gauss: (2*_GAUSS_REACH-1,) Gaussian taps for |i-j| < _GAUSS_REACH.
+    """
+    f = prev.dtype
+    n = jnp.maximum(jnp.sum(doc_valid.astype(f)), 1.0)
+    p_no = prev[0]
+    p_docs = prev[1:] * doc_valid.astype(f)
+
+    # state -1: 0.9 from -1, 0.1 from any doc (:566-575)
+    bel_no = 0.9 * p_no + 0.1 * jnp.sum(p_docs)
+    # state i: 0.1/n from -1, gauss(|i-j|) from doc j (:577-586)
+    conv = jnp.convolve(p_docs, gauss, mode="same")
+    bel = p_no * (0.1 / n) + conv
+
+    post = jnp.concatenate([(lhood_avg * bel_no)[None], lhood_docs * bel])
+    post = post * jnp.concatenate([jnp.ones((1,), bool),
+                                   doc_valid]).astype(f)
+    eta = jnp.sum(post)
+    nstates = 1.0 + jnp.sum(doc_valid.astype(f))
+    uniform = jnp.concatenate([jnp.ones((1,), bool),
+                               doc_valid]).astype(f) / nstates
+    return jnp.where(eta > 0, post / jnp.maximum(eta, 1e-300), uniform)
 
 
 class VocTree:
     def __init__(self, centroids: np.ndarray,
-                 params: Optional[VocTreeParams] = None):
+                 params: Optional[VocTreeParams] = None,
+                 doc_capacity: int = 128, feat_capacity: int = 256):
         """centroids: (num_int, K, D) float32."""
         K = BRANCH_FACTOR
         self.num_int = 1 + K + K * K
@@ -103,17 +236,26 @@ class VocTree:
         self.centroids = jnp.asarray(centroids, jnp.float32)
         self.params = params or VocTreeParams()
 
-        # inverted file: leaf -> {doc_id: weight}
-        self.leaf_docs: Dict[int, Dict[int, float]] = {}
+        # fixed-capacity document table (grows by doubling)
+        self._cap_docs = doc_capacity
+        self._cap_feat = feat_capacity
+        self._doc_leaves = np.full((doc_capacity, feat_capacity), -1,
+                                   np.int32)
+        self._doc_weights = np.zeros((doc_capacity, feat_capacity),
+                                     np.float32)
+        self._leaf_pop = np.zeros(self.num_leaf, np.int32)
         self.doc_size = 0
         # quarantine queue of (doc_id, feats)
         self._buffer: List[Tuple[int, np.ndarray]] = []
-        # Gaussian transition table (voctree_bf.h:156-160)
+        # Gaussian taps (voctree_bf.h:156-160) for |i-j| < _GAUSS_REACH
         s = self.params.sigma
-        d = np.arange(512)
-        self.gausstab = (1.0 / math.sqrt(2 * math.pi * s * s)
-                         * np.exp(-(d * d) / (2 * s * s)))
-        self.lc_prob_old: Dict[int, float] = {}
+        d = np.abs(np.arange(-(_GAUSS_REACH - 1), _GAUSS_REACH))
+        self._gauss = jnp.asarray(
+            (1.0 / math.sqrt(2 * math.pi * s * s)
+             * np.exp(-(d * d) / (2 * s * s))), jnp.float32)
+        # posterior over [no-loop, doc 0, doc 1, ...]; zeros = the
+        # reference's empty prior (first update comes out uniform)
+        self._post = None
 
     # -- persistence (reference binary format, voctree_bf.h:117-143) -------
 
@@ -133,20 +275,46 @@ class VocTree:
     # -- quantization ------------------------------------------------------
 
     def find_leaves(self, feats: np.ndarray) -> np.ndarray:
-        """(F, D) descriptors -> (F,) leaf indices (0-based leaf numbering)."""
-        if len(feats) == 0:
+        """(F, D) descriptors -> (F,) leaf indices (0-based leaf numbering).
+
+        Descriptors are padded to a capacity bucket so the jitted descent
+        compiles once per bucket, not once per frame."""
+        n = len(feats)
+        if n == 0:
             return np.zeros(0, np.int32)
-        idx = np.asarray(_descend(self.centroids,
-                                  jnp.asarray(feats, jnp.float32)))
+        Fb = _bucket(n)
+        fp = np.zeros((Fb, DESC_DIM), np.float32)
+        fp[:n] = np.asarray(feats, np.float32)[:, :DESC_DIM]
+        valid = np.zeros(Fb, bool)
+        valid[:n] = True
+        idx = np.asarray(_descend(self.centroids, jnp.asarray(fp),
+                                  jnp.asarray(valid)))[:n]
         return idx - self.num_int  # leaf_idx (:101)
 
     # -- document insertion (with quarantine) ------------------------------
 
-    def insert_doc(self, doc_id: int, feats: np.ndarray) -> Optional[int]:
+    def _grow(self, need_docs):
+        while self._cap_docs < need_docs:
+            self._cap_docs *= 2
+        dl = np.full((self._cap_docs, self._cap_feat), -1, np.int32)
+        dw = np.zeros((self._cap_docs, self._cap_feat), np.float32)
+        dl[:self.doc_size] = self._doc_leaves[:self.doc_size]
+        dw[:self.doc_size] = self._doc_weights[:self.doc_size]
+        self._doc_leaves, self._doc_weights = dl, dw
+        if self._post is not None:
+            p = np.zeros(self._cap_docs + 1, np.float32)
+            p[:len(self._post)] = self._post
+            self._post = p
+
+    def insert_doc(self, doc_id: Optional[int],
+                   feats: np.ndarray) -> Optional[int]:
         """Queue the document; once more than non_consider_recent documents
         are queued, the oldest is actually inserted.  Returns the doc id
         that entered the index this call (or None).  Passing doc_id=None
-        flushes one queued document (reference doc_id == -2, :216)."""
+        flushes one queued document (reference doc_id == -2, :216).
+
+        Note: documents must be inserted in id order (ids are row indices
+        of the dense table — the engine inserts keyframes sequentially)."""
         if doc_id is not None:
             self._buffer.append((doc_id, np.asarray(feats, np.float32)))
 
@@ -158,155 +326,144 @@ class VocTree:
         ins_id, ins_feats = self._buffer.pop(0)
         if len(ins_feats) == 0:
             return None
+        if ins_id != self.doc_size:
+            raise ValueError(
+                f"documents must insert sequentially: got id {ins_id}, "
+                f"expected {self.doc_size}")
+        if ins_id + 1 > self._cap_docs:
+            self._grow(ins_id + 1)
+
         w = 1.0 / len(ins_feats)
-        for leaf in self.find_leaves(ins_feats):
-            docs = self.leaf_docs.setdefault(int(leaf), {})
-            docs[ins_id] = docs.get(ins_id, 0.0) + w
+        leaves = self.find_leaves(ins_feats)
+        uniq, cnt = np.unique(leaves, return_counts=True)
+        k = min(len(uniq), self._cap_feat)
+        self._doc_leaves[ins_id, :k] = uniq[:k]
+        self._doc_weights[ins_id, :k] = cnt[:k] * w
+        self._leaf_pop[uniq[:k]] += 1
         self.doc_size += 1
         return ins_id
 
     # -- querying ----------------------------------------------------------
 
+    def _avg_doc(self):
+        """Virtual average document: top num_avg_words most-populated
+        leaves, weight 1/num_avg_words each (:404-441)."""
+        A = self.params.num_avg_words
+        populated = np.flatnonzero(self._leaf_pop > 0)
+        if len(populated) <= A:
+            return np.full(A, -1, np.int32), False
+        top = populated[np.argpartition(-self._leaf_pop[populated], A)[:A]]
+        out = np.full(A, -1, np.int32)
+        out[:len(top)] = top
+        return out, True
+
     def query(self, feats: np.ndarray):
-        """Returns (scores {doc: score}, likelihood {doc: l}).
+        """Returns (scores {doc: score}, likelihood {doc: l}) — the virtual
+        average document is doc -1, as in the reference.
 
-        Implements query_doc (voctree_bf.h:381-558): virtual average
-        document refresh, tf-idf L1 scoring, mean fill-in for unmatched
-        docs, and the mean+2*sigma likelihood transform.
-        """
-        p = self.params
-
-        # refresh the virtual average document (doc -1)
-        removed = False
-        for docs in self.leaf_docs.values():
-            if -1 in docs:
-                del docs[-1]
-                removed = True
-        if removed:
-            self.doc_size -= 1
-        populated = [(len(d), leaf) for leaf, d in self.leaf_docs.items()
-                     if len(d) > 0]
-        if len(populated) > p.num_avg_words:
-            populated.sort(reverse=True)
-            w2 = 1.0 / p.num_avg_words
-            for _, leaf in populated[:p.num_avg_words]:
-                docs = self.leaf_docs[leaf]
-                docs[-1] = docs.get(-1, 0.0) + w2
-            self.doc_size += 1
-
+        One jitted dense kernel scores the query against every document
+        (query_doc, voctree_bf.h:381-558)."""
         if len(feats) == 0 or self.doc_size == 0:
             return {}, {}
 
         leaves = self.find_leaves(feats)
-        featcnt = len(feats)
-        q: Dict[int, int] = {}
-        for leaf in leaves:
-            leaf = int(leaf)
-            if self.leaf_docs.get(leaf):
-                q[leaf] = q.get(leaf, 0) + 1
+        uniq, cnt = np.unique(leaves, return_counts=True)
+        Qb = _bucket(len(uniq))
+        ql = np.full(Qb, -1, np.int32)
+        qc = np.zeros(Qb, np.int32)
+        qv = np.zeros(Qb, bool)
+        ql[:len(uniq)] = uniq
+        qc[:len(uniq)] = cnt
+        qv[:len(uniq)] = True
 
-        score: Dict[int, float] = {}
-        total = 0.0
-        n_docs_hit = 1
-        for leaf, cnt in q.items():
-            docs = self.leaf_docs[leaf]
-            idf = math.log10(self.doc_size / len(docs))
-            n = (cnt / featcnt) * idf
-            for did, m_raw in docs.items():
-                m = m_raw * idf
-                l1 = -(abs(n - m) - n - m)
-                if did not in score:
-                    score[did] = l1
-                    n_docs_hit += 1
-                else:
-                    score[did] += l1
-                total += l1
+        avg_leaves, have_avg = self._avg_doc()
+        doc_valid = np.zeros(self._cap_docs, bool)
+        doc_valid[:self.doc_size] = True
 
-        mean_fill = total / n_docs_hit
-        for did in range(-1, self.doc_size - 1):
-            score.setdefault(did, mean_fill)
+        scores, avg_s, hit, lh, avg_lh = _score_query(
+            jnp.asarray(self._doc_leaves), jnp.asarray(self._doc_weights),
+            jnp.asarray(doc_valid), jnp.asarray(ql), jnp.asarray(qc),
+            jnp.asarray(qv), jnp.asarray(self._leaf_pop),
+            jnp.asarray(avg_leaves), jnp.asarray(have_avg),
+            jnp.asarray(self.doc_size, jnp.int32),
+            jnp.asarray(len(feats), jnp.int32),
+            num_avg=self.params.num_avg_words)
 
-        vals = np.array(list(score.values()))
-        mean = float(vals.mean())
-        std = float(np.sqrt(max((vals ** 2).mean() - mean * mean, 0.0)))
-
-        likelihood = {}
-        for did, s in score.items():
-            if s > mean + 2.0 * std and mean != 0.0:
-                likelihood[did] = (s - 2.0 * std) / mean
-            else:
-                likelihood[did] = 1.0
-        return score, likelihood
+        self._last = (np.asarray(scores), float(avg_s), np.asarray(lh),
+                      float(avg_lh), bool(have_avg))
+        n = self.doc_size
+        s = {-1: float(avg_s)} if have_avg else {}
+        l = {-1: float(avg_lh)} if have_avg else {}
+        sa = np.asarray(scores)
+        la = np.asarray(lh)
+        for d in range(n):
+            s[d] = float(sa[d])
+            l[d] = float(la[d])
+        return s, l
 
     # -- Bayesian temporal filter ------------------------------------------
 
-    def _trans_prob(self, state: int, state_prev: int, n: int) -> float:
-        """voctree_bf.h:560-587."""
-        if state_prev == -1:
-            return 0.9 if state == -1 else 0.1 / n
-        if state == -1:
-            return 0.1
-        dist = abs(state_prev - state)
-        return float(self.gausstab[dist]) if dist < 10 else 0.0
-
-    def update_posterior(self, likelihood: Dict[int, float]) -> Dict[int, float]:
-        """calc_post_prob (voctree_bf.h:589-706)."""
+    def update_posterior(self, likelihood: Dict[int, float]
+                         ) -> Dict[int, float]:
+        """calc_post_prob (voctree_bf.h:589-706): one jitted vector update
+        (Gaussian transition = 1-D convolution over the doc axis)."""
         n = self.doc_size
-        lc_prob: Dict[int, float] = {}
-        eta = 0.0
-        for state, lhood in likelihood.items():
-            belief = 0.0
-            for j in range(-1, n):
-                prev = self.lc_prob_old.get(j, 0.0)
-                if prev:
-                    belief += self._trans_prob(state, j, n) * prev
-            post = lhood * belief
-            lc_prob[state] = post
-            eta += post
-        if eta != 0.0:
-            lc_prob = {k: v / eta for k, v in lc_prob.items()}
-        elif lc_prob:
-            u = 1.0 / len(lc_prob)
-            lc_prob = {k: u for k in lc_prob}
-        self.lc_prob_old = lc_prob
-        return lc_prob
+        if n == 0:
+            return {}
+        lh = np.ones(self._cap_docs, np.float32)
+        for d, v in likelihood.items():
+            if 0 <= d < self._cap_docs:
+                lh[d] = v
+        lh_avg = likelihood.get(-1, 1.0)
+        doc_valid = np.zeros(self._cap_docs, bool)
+        doc_valid[:n] = True
+
+        if self._post is None or len(self._post) != self._cap_docs + 1:
+            p = np.zeros(self._cap_docs + 1, np.float32)
+            if self._post is not None:
+                p[:len(self._post)] = self._post
+            self._post = p
+        # NOTE the reference starts the recursion from an EMPTY prior: all
+        # beliefs are 0, eta == 0, and the first update comes out uniform
+        # over the states (voctree_bf.h:660-668,697-703).  The zero vector
+        # reproduces that through the eta==0 branch of _posterior_update.
+
+        post = _posterior_update(jnp.asarray(self._post),
+                                 jnp.asarray(lh, jnp.float32),
+                                 jnp.asarray(lh_avg, jnp.float32),
+                                 jnp.asarray(doc_valid),
+                                 self._gauss)
+        self._post = np.asarray(post)
+        out = {-1: float(self._post[0])}
+        for d in range(n):
+            out[d] = float(self._post[1 + d])
+        return out
 
     def is_loop_closing(self, lc_prob: Dict[int, float]) -> Optional[int]:
         """isLoopClosing (voctree_bf.h:708-748): accept when a run of
-        consecutive documents accumulates >= threshold posterior."""
+        consecutive documents accumulates >= threshold posterior.  Dense
+        doc ids have no gaps, so the run test is a sliding-window sum."""
         p = self.params
         if self.doc_size < p.non_consider_recent:
             return None
-        items = sorted(lc_prob.items())
-        seqlen = p.consider_seq_length
-        for i in range(len(items) - seqlen):
-            did, _ = items[i]
-            if did == -1:
-                continue
-            if abs(items[i][0] - items[i + 1][0]) > 1:
-                continue
-            prob_sum = 0.0
-            prob_max = -1.0
-            max_id = None
-            j = i
-            for k in range(seqlen + 1):
-                if j + 1 < len(items) and \
-                        abs(items[j][0] - items[j + 1][0]) > 1 and \
-                        k != seqlen:
-                    continue
-                prob_sum += items[j][1]
-                if items[j][1] > prob_max:
-                    prob_max = items[j][1]
-                    max_id = items[j][0]
-                j += 1
-                if j >= len(items):
-                    break
-            if prob_sum >= p.threshold:
-                return max_id
+        n = self.doc_size
+        if self._post is None or n == 0:
+            return None
+        probs = self._post[1:1 + n].astype(np.float64)
+        w = p.consider_seq_length + 1
+        if n < w:
+            return None
+        csum = np.concatenate([[0.0], np.cumsum(probs)])
+        window = csum[w:] - csum[:-w]              # sum over [i, i+w)
+        best = int(np.argmax(window))
+        if window[best] >= p.threshold:
+            seg = probs[best:best + w]
+            return best + int(np.argmax(seg))
         return None
 
     def reset_filter(self):
-        self.lc_prob_old = {}
+        if self._post is not None:
+            self._post[:] = 0.0
 
 
 # ---------------------------------------------------------------------------

@@ -137,3 +137,44 @@ class TestPlaceRecognizer:
         # matches must be identity on world feature ids
         correct = sum(1 for a, b in match_result.items() if a == b)
         assert correct / len(match_result) > 0.9
+
+
+class TestVocTreeScale:
+    def test_500_docs_query_posterior_fast(self, vocab):
+        """SURVEY §2 #16 / VERDICT r1 #7: inverted-file scoring and the
+        Bayes recursion are jitted dense kernels — per-keyframe cost must
+        stay flat in Python ops as the database grows.  500 documents:
+        insert + query + posterior in bounded time, revisit still found."""
+        import time
+
+        params = VocTreeParams(non_consider_recent=5, consider_seq_length=3,
+                               threshold=0.4, num_avg_words=20)
+        t = VocTree(vocab, params)
+        rng = np.random.default_rng(11)
+        world = synth_descriptors(rng, 600 * 3)
+
+        def doc(i, noise=0.02):
+            d = world[(i * 3) % 1500:(i * 3) % 1500 + 40]
+            d = d + rng.standard_normal(d.shape) * noise
+            return (d / np.linalg.norm(d, axis=1, keepdims=True)).astype(
+                np.float32)
+
+        for i in range(500):
+            t.insert_doc(i, doc(i))
+        assert t.doc_size >= 490
+
+        # warm the jit caches, then time 20 query+posterior rounds
+        _, lh = t.query(doc(3))
+        t.update_posterior(lh)
+        t0 = time.perf_counter()
+        hit = None
+        for k in range(20):
+            q = doc(3 + k)
+            _, lh = t.query(q)
+            post = t.update_posterior(lh)
+            hit = hit or t.is_loop_closing(post)
+        dt = (time.perf_counter() - t0) / 20
+        # dict-based round 1 took ~1 s/query at 1/10 this scale; the dense
+        # path must stay well under 100 ms/query at 500 docs on CPU
+        assert dt < 0.1, f"{dt*1e3:.1f} ms per query+posterior"
+        assert hit is not None  # the revisit sequence is detected
