@@ -33,9 +33,24 @@ class PGOStats(NamedTuple):
 
 
 def edge_residual(pose1, pose2, constraint):
-    """po_problem.h:73-105: Te = T2^-1 * C * T1 as a 6-vector."""
-    tc = geo.wt_compose(constraint, pose1)
-    return geo.wt_compose(geo.wt_inv(pose2), tc)
+    """po_problem.h:73-105: Te = T2^-1 * C * T1 as a 6-vector.
+
+    Composed in matrix form with ONE log at the end: the reference chains
+    angle-axis compositions (quaternion helpers, po_problem.h:27-64),
+    which materializes the intermediate C*T1 as an angle-axis vector —
+    differentiating through that log is singular when the intermediate
+    rotation angle hits pi (any trajectory that turns 180 degrees from
+    the gauge frame).  The error transform Te itself is near identity for
+    a sane graph, so the single final log is smooth where it matters.
+    """
+    Rc, tc = geo.wt_to_Rt(constraint)
+    R1, t1 = geo.wt_to_Rt(pose1)
+    R2, t2 = geo.wt_to_Rt(pose2)
+    R = Rc @ R1                    # C * T1
+    t = Rc @ t1 + tc
+    Re = R2.T @ R                  # T2^-1 * (C * T1)
+    te = R2.T @ (t - t2)
+    return jnp.concatenate([geo.so3_log(Re), te])
 
 
 def _edge_residual_jac(pose1, pose2, constraint):
