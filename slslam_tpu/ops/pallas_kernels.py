@@ -81,6 +81,14 @@ def segment_sum_pallas(values, idx, num_segments, tile_p=256, chunk=512,
     return out[:num_segments]
 
 
+# Beyond this many output segments the kernel's all-pairs tile masking
+# (O(O x P) dot-product work) loses to XLA's scatter lowering — measured
+# crossover on v5e ~P=32k (BENCH.md).  Larger P falls back to scatter-add;
+# truly large problems should use the bucketed layout of ops/schur_cg.py,
+# which needs no segment-sum at all.
+PAIR_SEGMENTS_LIMIT = 32768
+
+
 def assemble_pallas(A, B, Wb, gc_o, gl_o, obs_cam, obs_line, C, L,
                     interpret=False):
     """Full BA assembly via the Pallas segment-sum.
@@ -90,7 +98,8 @@ def assemble_pallas(A, B, Wb, gc_o, gl_o, obs_cam, obs_line, C, L,
 
     The five reductions are packed into two kernel launches: camera-indexed
     quantities (A | gc_o -> 42 lanes) and pair-indexed W; line-indexed
-    (B | gl_o -> 20 lanes).
+    (B | gl_o -> 20 lanes).  The pair-indexed W reduction switches to a
+    scatter-add past PAIR_SEGMENTS_LIMIT output segments.
     """
     O = A.shape[0]
     chunk = min(512, O)
@@ -103,9 +112,12 @@ def assemble_pallas(A, B, Wb, gc_o, gl_o, obs_cam, obs_line, C, L,
     line_out = segment_sum_pallas(line_vals, obs_line, L,
                                   tile_p=min(256, _round8(L)), chunk=chunk,
                                   interpret=interpret)
-    pair = obs_cam * L + obs_line
-    W = segment_sum_pallas(Wb.reshape(O, 24), pair, C * L, chunk=chunk,
-                           interpret=interpret).reshape(C, L, 6, 4)
+    if C * L <= PAIR_SEGMENTS_LIMIT:
+        pair = obs_cam * L + obs_line
+        W = segment_sum_pallas(Wb.reshape(O, 24), pair, C * L, chunk=chunk,
+                               interpret=interpret).reshape(C, L, 6, 4)
+    else:
+        W = jnp.zeros((C, L, 6, 4), Wb.dtype).at[obs_cam, obs_line].add(Wb)
 
     Hcc = cam_out[:, :36].reshape(C, 6, 6)
     gc = cam_out[:, 36:]

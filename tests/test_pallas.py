@@ -77,3 +77,33 @@ class TestAssemble:
         np.testing.assert_allclose(np.asarray(W), W_ref, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gc), gc_ref, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gl), gl_ref, atol=1e-4)
+
+
+def test_assemble_pair_fallback_matches_scatter():
+    """Past PAIR_SEGMENTS_LIMIT the W reduction switches to scatter-add;
+    both branches must produce identical assemblies."""
+    from slslam_tpu.ops import pallas_kernels as pk
+
+    rng = np.random.default_rng(5)
+    O, C, L = 256, 8, 16
+    A = rng.standard_normal((O, 6, 6))
+    B = rng.standard_normal((O, 4, 4))
+    Wb = rng.standard_normal((O, 6, 4))
+    gc_o = rng.standard_normal((O, 6))
+    gl_o = rng.standard_normal((O, 4))
+    oc = rng.integers(0, C, O)
+    ol = rng.integers(0, L, O)
+    args = tuple(jnp.asarray(x, jnp.float32) for x in (A, B, Wb, gc_o,
+                                                       gl_o))
+    idx = (jnp.asarray(oc, jnp.int32), jnp.asarray(ol, jnp.int32))
+
+    out_pallas = pk.assemble_pallas(*args, *idx, C, L, interpret=True)
+    old = pk.PAIR_SEGMENTS_LIMIT
+    try:
+        pk.PAIR_SEGMENTS_LIMIT = 1        # force the scatter branch
+        out_scatter = pk.assemble_pallas(*args, *idx, C, L, interpret=True)
+    finally:
+        pk.PAIR_SEGMENTS_LIMIT = old
+    for a, b in zip(out_pallas, out_scatter):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
