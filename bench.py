@@ -46,12 +46,12 @@ def emit(value, vs, extra=None):
     }))
 
 
-def _workload(cfg, num_frames):
+def _workload(cfg, num_frames, seed=4):
     from slslam_tpu.sim import (StereoLineRenderer, house_segments,
                                 wave_trajectory)
     segs = house_segments()
     poses_gt = wave_trajectory(num_frames=400)[:num_frames]
-    ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.2, seed=4)
+    ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.2, seed=seed)
     frames = [ren.observe(T) for T in poses_gt]
     return frames, poses_gt
 
@@ -69,53 +69,166 @@ def _ate(traj, poses_gt):
 
 
 def bench_batch(platform, t_start):
-    """Whole-sequence replay on device: one dispatch, one fetch."""
+    """Whole-sequence replay + global refine on device, over >= 5 render
+    seeds: the measured path includes the post-replay global bundle
+    adjustment (two more device solves), and ATE is reported worst-case
+    across seeds — the every-frame-keyframe workload has a weakly
+    observable mode whose unrefined ATE is seed-dependent (BENCH.md)."""
     from slslam_tpu.config import SlamConfig
     from slslam_tpu.engine.batch import BatchSlam
+    from slslam_tpu.engine.refine import global_refine
 
     num_frames = 400  # the reference benchmark's own length
+    seeds = [4, 5, 6, 7, 8]
     cfg = dataclasses.replace(
         SlamConfig(),
         compute_dtype="float64" if platform == "cpu" else "float32",
         kf_rot_thr=1e-9, kf_tr_thr=1e-9)
-    frames, poses_gt = _workload(cfg, num_frames)
 
+    # cold run: jit compile + execute (compile dominated; cached by XLA)
+    frames, poses_gt = _workload(cfg, num_frames, seed=seeds[0])
     eng = BatchSlam(cfg)
-    # cold run: jit compile + execute (compile dominated)
     t0 = time.perf_counter()
     res = eng.run(frames)
-    cold_s = time.perf_counter() - t0
-    nkf = res.kf_count
-    if nkf == 0:
+    if res.kf_count == 0:
         emit(0.0, 0.0, {"error": "no keyframes", "platform": platform})
         return
+    ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+    cold_s = time.perf_counter() - t0
 
-    # warm runs: steady-state throughput (the number a resident service
-    # sees; compile is a one-time cost cached by XLA).  cold_s is compile-
-    # dominated, so it badly overestimates a warm run; after the first warm
-    # run the real cost is known.
+    # warm per-seed runs: replay + refine, all inside the measured wall
+    results = {}
+    total_kf, total_wall = 0, 0.0
+    est = 0.2 * cold_s + 10.0
+    for seed in seeds:
+        if (time.perf_counter() - t_start) + est > TOTAL_BUDGET_S:
+            break
+        frames, poses_gt = _workload(cfg, num_frames, seed=seed)
+        t0 = time.perf_counter()
+        res = eng.run(frames)
+        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        wall = time.perf_counter() - t0
+        est = 1.1 * wall
+        total_kf += res.kf_count
+        total_wall += wall
+        results[seed] = {
+            "wall_s": round(wall, 3),
+            "ate_raw": round(_ate(res.trajectory, poses_gt), 4),
+            "ate_refined": round(_ate(ref.trajectory, poses_gt), 4),
+        }
+
+    if not results:
+        # budget consumed by the cold run: report it alone
+        wall = cold_s
+        total_kf, total_wall = res.kf_count, cold_s
+        results[seeds[0]] = {
+            "wall_s": round(cold_s, 2), "cold": True,
+            "ate_raw": round(_ate(res.trajectory, poses_gt), 4),
+            "ate_refined": round(_ate(ref.trajectory, poses_gt), 4),
+        }
+
+    kf_per_s = total_kf / total_wall
+    worst = max(r["ate_refined"] for r in results.values())
+    emit(kf_per_s, kf_per_s / BASELINE_KF_PER_S, {
+        "platform": platform,
+        "mode": "batch+refine",
+        "seeds_measured": len(results),
+        "keyframes_per_run": res.kf_count,
+        "cold_s": round(cold_s, 2),
+        "worst_seed_ate_refined_m": worst,
+        "worst_seed_ate_raw_m": max(r["ate_raw"] for r in results.values()),
+        "per_seed": results,
+        "avg_ba_iterations": round(res.stats["avg_num_iterations"], 2),
+        "num_landmarks": res.stats["num_landmarks"],
+    })
+
+
+def bench_lc(platform, t_start):
+    """Loop-closure workload on the device-resident path: village orbit
+    with revisits -> batch replay + voctree recognition + device relative
+    poses + PGO + merged global refine (engine/batch_lc.py).  The
+    reference's wlc configuration analog (BASELINE.md §2)."""
+    import numpy as np
+    from slslam_tpu.config import SlamConfig
+    from slslam_tpu.engine.batch_lc import BatchSlamLC
+    from slslam_tpu.loopclosure import (PlaceRecognizer, VocTree,
+                                        build_vocabulary)
+    from slslam_tpu.loopclosure.voctree import VocTreeParams
+    from slslam_tpu.sim import (SegmentDescriptorSource, StereoLineRenderer,
+                                TrackIdAssigner, village_segments,
+                                village_trajectory)
+
+    num_frames = 400
+    cfg = dataclasses.replace(
+        SlamConfig(),
+        compute_dtype="float64" if platform == "cpu" else "float32",
+        kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+
+    segs = village_segments(n_houses=8, ring_radius=10.0)
+    poses_gt = village_trajectory(num_frames=num_frames, arc=2.6 * np.pi,
+                                  orbit_radius=4.0)
+    ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.3, seed=1)
+    assigner = TrackIdAssigner(max_gap=5)
+    desc_src = SegmentDescriptorSource(assigner, len(segs), noise=0.01,
+                                       seed=7)
+    frames = [assigner.assign(i, ren.observe(T))
+              for i, T in enumerate(poses_gt)]
+
+    # the vocabulary is a prebuilt artifact in the reference (trees/ dir,
+    # voctree_bf.h .gitignore) — built once here, outside the timed region
+    rng0 = __import__("numpy").random.default_rng(0)
+    samples = np.concatenate([
+        desc_src.base + rng0.standard_normal(
+            desc_src.base.shape).astype(np.float32) * 0.02
+        for _ in range(4)])
+    samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+    vocab = build_vocabulary(samples, seed=0, kmeans_iters=2)
+    params = VocTreeParams(non_consider_recent=20, consider_seq_length=4,
+                           threshold=0.25, num_avg_words=30)
+
+    def make_engine():
+        rec = PlaceRecognizer(VocTree(vocab, params), min_matches=8,
+                              min_similarity=0.8)
+        return BatchSlamLC(cfg, recognizer=rec, descriptor_source=desc_src,
+                           refine=True, refine_rounds=1)
+
+    def ate(traj, kfi):
+        T0 = poses_gt[kfi[0]]
+        gt = [(poses_gt[i] @ T0.inv()).inv() for i in kfi]
+        return float(np.mean([np.linalg.norm(a.t - b.t)
+                              for a, b in zip(traj, gt)]))
+
+    # cold (compile) run
+    t0 = time.perf_counter()
+    res = make_engine().run(frames)
+    cold_s = time.perf_counter() - t0
+
     walls = []
-    est = 0.15 * cold_s + 10.0
+    est = 0.3 * cold_s + 10.0
     while (time.perf_counter() - t_start) + est < TOTAL_BUDGET_S \
             and len(walls) < 3:
         t0 = time.perf_counter()
-        res = eng.run(frames)
+        res = make_engine().run(frames)
         walls.append(time.perf_counter() - t0)
         est = 1.1 * min(walls)
     warm_s = min(walls) if walls else cold_s
 
+    kfi = np.flatnonzero(np.asarray(res.base.is_kf))
+    nkf = res.base.kf_count
     kf_per_s = nkf / warm_s
     emit(kf_per_s, kf_per_s / BASELINE_KF_PER_S, {
         "platform": platform,
-        "mode": "batch",
+        "mode": "lc",
         "keyframes": nkf,
         "cold_s": round(cold_s, 2),
         "warm_s": round(warm_s, 3),
-        "warm_runs": len(walls),
-        "ate_m": round(_ate(res.trajectory, poses_gt), 4),
-        "avg_ba_iterations": round(res.stats["avg_num_iterations"], 2),
-        "avg_final_cost": res.stats["avg_final_cost"],
-        "num_landmarks": res.stats["num_landmarks"],
+        "num_loop_closures": res.stats["num_loop_closures"],
+        "num_merged_tracks": res.stats["num_merged_tracks"],
+        "ate_odometry_m": round(ate(res.base.trajectory, kfi), 4),
+        "ate_final_m": round(ate(res.trajectory, kfi), 4),
+        "wall_breakdown": {k: res.stats[k] for k in
+                           ("wall_replay_s", "wall_recognition_s",
+                            "wall_pgo_s", "wall_refine_s")},
     })
 
 
@@ -188,6 +301,8 @@ def main():
 
     if MODE == "interactive":
         bench_interactive(platform, t_start)
+    elif MODE == "lc":
+        bench_lc(platform, t_start)
     else:
         bench_batch(platform, t_start)
 

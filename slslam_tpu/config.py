@@ -56,6 +56,14 @@ class SlamConfig:
     # loop-closure relative-pose solve, still verified by moBA + inliers +
     # the consistency check.
     lc_ransac_max_t_norm: float = 2.5
+    # Loop-edge acceptance requires this many post-moBA inliers AND this
+    # fraction of the offered matches.  The reference's pose estimation
+    # only needs >= 5 absolute inliers (slam.cpp:295-298), but its live
+    # LC path never shipped; measured on the village workload, 5-of-11
+    # and 12-of-28 edges are meters wrong while genuine revisits score
+    # > 90% inliers — the ratio + absolute floor separates them cleanly.
+    lc_min_inliers: int = 8
+    lc_min_inlier_ratio: float = 0.6
 
     # Reprojection / thresholds (reference: src/parameter.h:55-62).
     inverse_depth: float = 0.1

@@ -77,24 +77,40 @@ def build_global_problem(frames: List[Dict[int, np.ndarray]],
 
     cam_wt = np.stack([T.inv().wt() for T in trajectory])  # world->cam
 
-    # line init: fresh stereo triangulation at the first observing keyframe,
-    # transported into the world frame with the estimated pose
-    # (slam.cpp:161-219 semantics, but anchored to the global frame)
+    # line init, two candidates per line:
+    # (a) stereo triangulation at the first observing keyframe
+    #     (slam.cpp:161-219 semantics, anchored to the global frame).
+    #     The stereo baseline is 0.12 m; at 10+ m depth the init error is
+    #     meters, and a minority of lines start outside their basin
+    #     (measured on the village world: 134/765 lines stuck > 3 px
+    #     after a lines-only solve from this init alone);
+    # (b) wide-baseline two-view: intersect the back-projected
+    #     interpretation planes of the first and last observing keyframes
+    #     — the keyframe baseline is usually orders of magnitude wider.
+    # Pick per line whichever candidate fits that line's observations
+    # best.  Degenerate (b) rows (near-parallel planes) fall back to (a).
     first_obs = np.zeros((L, 8))
+    last_obs = np.zeros((L, 8))
     first_kf = np.zeros(L, np.int64)
+    last_kf = np.zeros(L, np.int64)
     for fid, i in fidx.items():
-        k = seen[fid][0]
-        first_kf[i] = k
-        first_obs[i] = frames[kf_frames[k]][fid]
+        k0, k1 = seen[fid][0], seen[fid][-1]
+        first_kf[i], last_kf[i] = k0, k1
+        first_obs[i] = frames[kf_frames[k0]][fid]
+        last_obs[i] = frames[kf_frames[k1]][fid]
     lines_cam = np.asarray(triangulate_lines(
         jnp.asarray(first_obs), cfg.camera.baseline,
         inverse_depth=cfg.inverse_depth), np.float64)
     lines_w = np.empty_like(lines_cam)
-    for i in range(L):
-        T = trajectory[first_kf[i]]              # cam -> world
-        lines_w[i, :3] = T.R @ lines_cam[i, :3] + T.t
-        lines_w[i, 3:] = T.R @ lines_cam[i, 3:]
-    line_orth = av_to_orth_np(lines_w)
+    R_cw = np.stack([T.R for T in trajectory])
+    t_cw = np.stack([T.t for T in trajectory])
+    lines_w[:, :3] = np.einsum("lij,lj->li", R_cw[first_kf],
+                               lines_cam[:, :3]) + t_cw[first_kf]
+    lines_w[:, 3:] = np.einsum("lij,lj->li", R_cw[first_kf],
+                               lines_cam[:, 3:])
+
+    lines_wide = _two_view_lines(first_obs, last_obs, first_kf, last_kf,
+                                 R_cw, t_cw, lines_w)
 
     rows, ocam, olin = [], [], []
     for k, f in enumerate(kf_frames):
@@ -105,11 +121,100 @@ def build_global_problem(frames: List[Dict[int, np.ndarray]],
                 ocam.append(k)
                 olin.append(i)
     obs = np.asarray(rows, np.float64).reshape(-1, 8)
-    return (cam_wt, line_orth, obs, np.asarray(ocam, np.int32),
-            np.asarray(olin, np.int32), feat_ids)
+    ocam = np.asarray(ocam, np.int32)
+    olin = np.asarray(olin, np.int32)
+
+    lines_w = _pick_better_lines(lines_w, lines_wide, cam_wt, obs, ocam,
+                                 olin, cfg)
+    line_orth = av_to_orth_np(lines_w)
+    return (cam_wt, line_orth, obs, ocam, olin, feat_ids)
+
+
+def _two_view_lines(first_obs, last_obs, first_kf, last_kf, R_cw, t_cw,
+                    fallback):
+    """Wide-baseline line init: plane-plane intersection across keyframes.
+
+    The left-image segment of keyframe k back-projects to its
+    interpretation plane through the camera center (gc_ppp_pi role,
+    gc.cpp:100-105, with the camera center as the third point); planes
+    from two keyframes meet in the 3D line (gc_pipi_plk role,
+    gc.cpp:107-113) — here with the inter-keyframe baseline instead of
+    the 0.12 m stereo baseline.  Rows where the planes are near-parallel
+    (little baseline or line parallel to motion) take `fallback`.
+    """
+    L = len(first_obs)
+
+    def plane_w(obs8, kf):
+        p1 = np.concatenate([obs8[:, 0:2], np.ones((L, 1))], axis=1)
+        p2 = np.concatenate([obs8[:, 2:4], np.ones((L, 1))], axis=1)
+        n_c = np.cross(p1, p2)                   # plane normal, cam frame
+        # world->cam is X_c = R X_w + t with (R, t) = inv(cam->world):
+        # n_c . (R X_w + t) = 0  ->  n_w = R^T n_c, d = n_c . t
+        R = np.transpose(R_cw[kf], (0, 2, 1))    # world->cam rotation
+        t = -np.einsum("lij,lj->li", R, t_cw[kf])
+        n_w = np.einsum("lji,lj->li", R, n_c)
+        d = np.einsum("li,li->l", n_c, t)
+        return n_w, d
+
+    n1, d1 = plane_w(first_obs, first_kf)
+    n2, d2 = plane_w(last_obs, last_kf)
+
+    v = np.cross(n1, n2)
+    nn = (np.linalg.norm(n1, axis=1) * np.linalg.norm(n2, axis=1))
+    sin_ang = np.linalg.norm(v, axis=1) / np.maximum(nn, 1e-30)
+
+    # min-norm point on both planes: x = A^T (A A^T)^-1 (-d)
+    A = np.stack([n1, n2], axis=1)               # (L,2,3)
+    M = A @ np.transpose(A, (0, 2, 1))           # (L,2,2)
+    det = M[:, 0, 0] * M[:, 1, 1] - M[:, 0, 1] * M[:, 1, 0]
+    ok = (sin_ang > 1e-3) & (np.abs(det) > 1e-20)
+    det_s = np.where(ok, det, 1.0)
+    Minv = np.empty_like(M)
+    Minv[:, 0, 0] = M[:, 1, 1] / det_s
+    Minv[:, 1, 1] = M[:, 0, 0] / det_s
+    Minv[:, 0, 1] = -M[:, 0, 1] / det_s
+    Minv[:, 1, 0] = -M[:, 1, 0] / det_s
+    y = np.einsum("lij,lj->li", Minv, -np.stack([d1, d2], axis=1))
+    x = np.einsum("lji,lj->li", A, y)            # point on the line
+    vv = np.maximum(np.sum(v * v, axis=1, keepdims=True), 1e-30)
+    cp = np.cross(v, np.cross(x, v)) / vv
+    ok &= np.isfinite(cp).all(axis=1) & (np.linalg.norm(cp, axis=1) < 1e3)
+
+    out = fallback.copy()
+    out[ok, :3] = cp[ok]
+    out[ok, 3:] = v[ok]
+    return out
+
+
+def _pick_better_lines(lines_a, lines_b, cam_wt, obs, ocam, olin, cfg):
+    """Per line, keep whichever candidate has lower total |residual| over
+    that line's observations (evaluated once, vectorized)."""
+    from ..ops.residuals import lba_residual_jac_batch
+
+    L = len(lines_a)
+    if L == 0 or len(obs) == 0:
+        return lines_a
+    cw = jnp.asarray(cam_wt)[ocam]
+    costs = []
+    for lines in (lines_a, lines_b):
+        orth = av_to_orth_np(lines)
+        r, _, _ = lba_residual_jac_batch(cw, jnp.asarray(orth)[olin],
+                                         jnp.asarray(obs),
+                                         cfg.camera.baseline)
+        e = np.abs(np.asarray(r)).sum(axis=1)
+        e = np.where(np.isfinite(e), e, 1e6)
+        tot = np.zeros(L)
+        np.add.at(tot, olin, e)
+        costs.append(tot)
+    take_b = costs[1] < costs[0]
+    out = lines_a.copy()
+    out[take_b] = lines_b[take_b]
+    return out
 
 
 _DENSE_W_LIMIT = 400_000   # C*L above this -> matrix-free CG Schur solver
+_DENSE_CAM_LIMIT = 128     # cameras above this -> CG (the dense reduced
+                           # system is (6C)^2 and its Cholesky is (6C)^3)
 
 
 def global_refine(frames: List[Dict[int, np.ndarray]],
@@ -152,7 +257,13 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
             num_cams=K, num_lines=0, num_obs=0)
 
     if method == "auto":
-        method = "cg" if K * L > _DENSE_W_LIMIT else "dense"
+        # dense is fastest only for small problems on CPU; on accelerators
+        # its scatter/one-hot assembly loses to the CG path's bucketed
+        # dense reductions at any size
+        import jax
+        small = K * L <= _DENSE_W_LIMIT and K <= _DENSE_CAM_LIMIT
+        method = "dense" if (small and jax.default_backend() == "cpu") \
+            else "cg"
 
     cam_free = np.ones(K, bool)
     cam_free[0] = False                      # gauge: world = KF0 camera

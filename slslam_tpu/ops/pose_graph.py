@@ -70,7 +70,7 @@ _FUNCTION_TOL = 1e-6
 
 
 def _assemble(poses, edges_i, edges_j, constraints, e_valid, free_f,
-              axis_name=None):
+              axis_name=None, huber_delta=None):
     V = poses.shape[0]
     p1 = poses[edges_i]
     p2 = poses[edges_j]
@@ -81,7 +81,19 @@ def _assemble(poses, edges_i, edges_j, constraints, e_valid, free_f,
     j1 = jnp.where(vmask[..., None], j1 * free_f[edges_i][:, None, None], 0.0)
     j2 = jnp.where(vmask[..., None], j2 * free_f[edges_j][:, None, None], 0.0)
 
-    cost = 0.5 * jnp.sum(r * r)
+    if huber_delta is not None:
+        # Huber on the edge residual norm: caps a wrong loop edge's
+        # influence (no reference analog — its PGO is quadratic,
+        # po_problem.h:68-108 — but the reference also never ran live
+        # loop closure; the deferred batch-LC stitch wants robustness)
+        from .schur_ba import _robust_weights
+        w_r, cost_e = _robust_weights(r, huber_delta, True)
+        cost = jnp.sum(jnp.where(e_valid > 0, cost_e, 0.0))
+        r = r * w_r[:, None]
+        j1 = j1 * w_r[:, None, None]
+        j2 = j2 * w_r[:, None, None]
+    else:
+        cost = 0.5 * jnp.sum(r * r)
 
     H = jnp.zeros((V, 6, V, 6), poses.dtype)
     H = H.at[edges_i, :, edges_i, :].add(
@@ -106,7 +118,8 @@ def _assemble(poses, edges_i, edges_j, constraints, e_valid, free_f,
 
 
 def pose_graph_opt_impl(poses, edges_i, edges_j, constraints, e_valid,
-                        pose_free, max_iters=10, axis_name=None):
+                        pose_free, max_iters=10, axis_name=None,
+                        huber_delta=None):
     """Optimize keyframe poses against relative-pose constraints.
 
     Args:
@@ -125,7 +138,7 @@ def pose_graph_opt_impl(poses, edges_i, edges_j, constraints, e_valid,
     ev = e_valid.astype(dtype)
 
     cost0, H, g = _assemble(poses, edges_i, edges_j, constraints, ev, free_f,
-                            axis_name=axis_name)
+                            axis_name=axis_name, huber_delta=huber_delta)
 
     class _S(NamedTuple):
         poses: jnp.ndarray
@@ -158,7 +171,8 @@ def pose_graph_opt_impl(poses, edges_i, edges_j, constraints, e_valid,
         poses_new = s.poses + dx.reshape(-1, 6)
         cost_new, H_n, g_n = _assemble(poses_new, edges_i, edges_j,
                                        constraints, ev, free_f,
-                                       axis_name=axis_name)
+                                       axis_name=axis_name,
+                                       huber_delta=huber_delta)
 
         model_change = 0.5 * (lam * jnp.sum(diag * dx * dx)
                               - jnp.sum(s.g * dx))
@@ -188,4 +202,5 @@ def pose_graph_opt_impl(poses, edges_i, edges_j, constraints, e_valid,
 
 
 pose_graph_opt = jax.jit(pose_graph_opt_impl,
-                         static_argnames=("max_iters", "axis_name"))
+                         static_argnames=("max_iters", "axis_name",
+                                          "huber_delta"))
