@@ -9,6 +9,7 @@
 //
 // Build: native/build.sh  (g++ -O2 -shared -fPIC)
 
+#include <algorithm>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
@@ -138,6 +139,150 @@ int slslam_metric_embedding(int n_kfs, int n_edges, const int* edge_i,
     }
   }
   return n_order;
+}
+
+// ---------------------------------------------------------------------------
+// LSD-style line-segment detection: region growing + rectangle validation
+// ---------------------------------------------------------------------------
+//
+// The per-pixel region-growing BFS is the front-end's hot loop (the
+// reference's front-end was never released; frontend/detector.py defines
+// the algorithm and keeps a pure-Python fallback).  Semantics must match
+// detector.py LineSegmentDetector.detect exactly: anchors in decreasing
+// gradient-magnitude order, 8-neighbour growth gated by level-line angle
+// against a running mean direction, weighted-PCA rectangle fit, length and
+// density validation.
+
+static inline double angdiff2pi(double a, double b) {
+  double d = fabs(a - b);
+  d = fmod(d, 2.0 * M_PI);
+  return d > M_PI ? 2.0 * M_PI - d : d;
+}
+
+// Returns the number of segments written (<= max_segments).
+//   mag, angle: H*W row-major float32 gradient maps
+//   seg_out: max_segments x 4 doubles (x1, y1, x2, y2)
+//   grad_out: max_segments x 2 doubles (mean gradient unit vector)
+int slslam_lsd_detect(const float* mag, const float* angle, int H, int W,
+                      float mag_threshold, float angle_tol,
+                      float min_length, float min_density,
+                      double* seg_out, double* grad_out, int max_segments) {
+  const int n_px = H * W;
+  std::vector<unsigned char> used(n_px, 0);
+  std::vector<int> anchors;
+  anchors.reserve(n_px / 8);
+  for (int p = 0; p < n_px; ++p) {
+    if (mag[p] >= mag_threshold) anchors.push_back(p);
+    else used[p] = 1;
+  }
+  std::sort(anchors.begin(), anchors.end(),
+            [mag](int a, int b) { return mag[a] > mag[b]; });
+
+  static const int dy8[8] = {-1, -1, -1, 0, 0, 1, 1, 1};
+  static const int dx8[8] = {-1, 0, 1, -1, 1, -1, 0, 1};
+
+  std::vector<int> region;
+  region.reserve(4096);
+  int n_seg = 0;
+
+  for (size_t ai = 0; ai < anchors.size() && n_seg < max_segments; ++ai) {
+    int p0 = anchors[ai];
+    if (used[p0]) continue;
+    region.clear();
+    region.push_back(p0);
+    used[p0] = 1;
+    double theta = angle[p0];
+    double sx = cos(theta), sy = sin(theta);
+
+    for (size_t head = 0; head < region.size(); ++head) {
+      int cp = region[head];
+      int cy = cp / W, cx = cp % W;
+      for (int k = 0; k < 8; ++k) {
+        int ny = cy + dy8[k], nx = cx + dx8[k];
+        if (ny < 0 || ny >= H || nx < 0 || nx >= W) continue;
+        int np_ = ny * W + nx;
+        if (used[np_]) continue;
+        if (angdiff2pi(angle[np_], theta) > angle_tol) continue;
+        used[np_] = 1;
+        region.push_back(np_);
+        sx += cos(angle[np_]);
+        sy += sin(angle[np_]);
+        theta = atan2(sy, sx);
+      }
+    }
+
+    if ((double)region.size() < min_length) continue;
+
+    // mean gradient direction (level-line angle a -> gradient (sin, -cos))
+    double gx = 0, gy = 0;
+    for (size_t r = 0; r < region.size(); ++r) {
+      double a = angle[region[r]];
+      gx += sin(a);
+      gy += -cos(a);
+    }
+    double gn = sqrt(gx * gx + gy * gy);
+    if (gn > 0) { gx /= gn; gy /= gn; }
+
+    // weighted PCA of the region's (y, x) coordinates
+    double wsum = 0, cy_ = 0, cx_ = 0;
+    for (size_t r = 0; r < region.size(); ++r) {
+      double w = mag[region[r]];
+      wsum += w;
+      cy_ += w * (region[r] / W);
+      cx_ += w * (region[r] % W);
+    }
+    cy_ /= wsum;
+    cx_ /= wsum;
+    double syy = 0, sxx = 0, sxy = 0;
+    for (size_t r = 0; r < region.size(); ++r) {
+      double w = mag[region[r]] / wsum;
+      double dy = (region[r] / W) - cy_;
+      double dx = (region[r] % W) - cx_;
+      syy += w * dy * dy;
+      sxx += w * dx * dx;
+      sxy += w * dy * dx;
+    }
+    // eigen-decomposition of [[syy, sxy], [sxy, sxx]] (coords are (y, x))
+    double tr = syy + sxx;
+    double dd = sqrt(fmax((syy - sxx) * (syy - sxx) + 4.0 * sxy * sxy,
+                          0.0));
+    double l_max = 0.5 * (tr + dd), l_min = 0.5 * (tr - dd);
+    double vy, vx;  // major-axis eigenvector (dy, dx)
+    if (fabs(sxy) > 1e-12) {
+      vy = l_max - sxx;
+      vx = sxy;
+    } else if (syy >= sxx) {
+      vy = 1.0; vx = 0.0;
+    } else {
+      vy = 0.0; vx = 1.0;
+    }
+    double vn = sqrt(vy * vy + vx * vx);
+    vy /= vn; vx /= vn;
+
+    double t0 = 1e300, t1 = -1e300;
+    for (size_t r = 0; r < region.size(); ++r) {
+      double dy = (region[r] / W) - cy_;
+      double dx = (region[r] % W) - cx_;
+      double t = dy * vy + dx * vx;
+      if (t < t0) t0 = t;
+      if (t > t1) t1 = t;
+    }
+    double length = t1 - t0;
+    if (length < min_length) continue;
+    double width = fmax(2.0 * sqrt(fmax(l_min, 1e-12)) * 2.0, 1.0);
+    double density = (double)region.size() / (length * width);
+    if (density < min_density) continue;
+
+    double* s = seg_out + 4 * n_seg;
+    s[0] = cx_ + t0 * vx;  // x1
+    s[1] = cy_ + t0 * vy;  // y1
+    s[2] = cx_ + t1 * vx;  // x2
+    s[3] = cy_ + t1 * vy;  // y2
+    grad_out[2 * n_seg] = gx;
+    grad_out[2 * n_seg + 1] = gy;
+    ++n_seg;
+  }
+  return n_seg;
 }
 
 }  // extern "C"

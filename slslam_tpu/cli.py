@@ -305,14 +305,18 @@ def cmd_run(args):
 
 
 def cmd_track(args):
-    """Full pipeline on raw stereo imagery: detector -> matcher -> SLAM.
+    """Full pipeline on raw stereo imagery: detector -> matcher ->
+    descriptors -> (voctree place recognition) -> SLAM.
 
     Replaces the reference's unreleased front-end; images are %04d.(png|jpg)
     under --left-dir / --right-dir (the reference's left_rect/right_rect
-    layout, parameter.h:28-41).
+    layout, parameter.h:28-41).  With --vocab, the matcher's computed
+    descriptors feed the voctree place recognizer and loop closure runs
+    live (the reference's wlc configuration, with the front-end the
+    authors never released).  A missing --vocab file is trained from the
+    sequence's own descriptors in a pre-pass and saved (the reference
+    loads prebuilt binaries from a trees/ dir).
     """
-    import glob
-
     import numpy as np
     from PIL import Image
 
@@ -340,18 +344,43 @@ def cmd_track(args):
             yield i, hits
             i += 1
 
+    def load(pl_, pr_):
+        img_l = np.asarray(Image.open(pl_).convert("L"), np.float32)
+        img_r = np.asarray(Image.open(pr_).convert("L"), np.float32)
+        return img_l, img_r
+
+    if getattr(args, "vocab", None):
+        from .loopclosure import PlaceRecognizer, VocTree, build_vocabulary
+        from .loopclosure.voctree import VocTreeParams
+        params = (VocTreeParams.outdoor() if args.vocab_preset == "outdoor"
+                  else VocTreeParams.outdoor_long_loop()
+                  if args.vocab_preset == "outdoor-long"
+                  else VocTreeParams())
+        if not os.path.exists(args.vocab):
+            print(f"training vocabulary -> {args.vocab}", file=sys.stderr)
+            pre = StereoLineMatcher(cfg.camera)
+            bank = []
+            for frame_id, (pl_, pr_) in frames():
+                if frame_id > args.stopfrm or len(bank) > 200:
+                    break
+                pre.process(frame_id, *load(pl_, pr_))
+                bank.extend(t.desc for t in pre.tracks.values())
+            vocab = build_vocabulary(np.asarray(bank, np.float32))
+            VocTree(vocab, params).save(args.vocab)
+        tree = VocTree.load(args.vocab, params)
+        slam.place_recognizer = PlaceRecognizer(tree)
+        slam.descriptor_source = matcher.descriptors
+
     t0 = time.time()
     n = 0
     for frame_id, (pl_, pr_) in frames():
         if frame_id > args.stopfrm:
             break
-        img_l = np.asarray(Image.open(pl_).convert("L"), np.float32)
-        img_r = np.asarray(Image.open(pr_).convert("L"), np.float32)
-        obs = matcher.process(frame_id, img_l, img_r)
+        obs = matcher.process(frame_id, *load(pl_, pr_))
         slam.process_frame(obs, frame_id, normalized=False)
         n += 1
-    print(f"processed {n} stereo frames, {len(slam.state.kfs)} keyframes "
-          f"in {time.time() - t0:.1f}s")
+    print(f"processed {n} stereo frames, {len(slam.state.kfs)} keyframes, "
+          f"{slam.lc_cnt} loop closures in {time.time() - t0:.1f}s")
     _finish(slam, args)
 
 
@@ -395,6 +424,14 @@ def main(argv=None):
     pt.add_argument("--left-dir", required=True)
     pt.add_argument("--right-dir", required=True)
     pt.add_argument("--start", type=int, default=0)
+    pt.add_argument("--vocab", default=None,
+                    help="voctree vocabulary file: enables live place "
+                         "recognition + loop closure; trained from the "
+                         "sequence itself if the file does not exist")
+    pt.add_argument("--vocab-preset",
+                    choices=("indoor", "outdoor", "outdoor-long"),
+                    default="indoor",
+                    help="voctree parameter preset (voctree_bf.h:24-43)")
     _add_engine_flags(pt)
     pt.set_defaults(fn=cmd_track)
 

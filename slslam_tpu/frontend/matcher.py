@@ -186,6 +186,20 @@ class StereoLineMatcher:
         self._expire(frame_id)
         return out
 
+    def descriptors(self, frame_id: int, feat_ids) -> np.ndarray:
+        """Latest 72-dim descriptor per track id — the engine's
+        ``descriptor_source`` contract, wiring the computed front-end
+        descriptors into place recognition (the reference never shipped
+        this link, README:31-33; voctree_bf.h:20 fixes D=72).  Unknown /
+        expired ids yield zero vectors (zero similarity, never match)."""
+        from .descriptor import DESC_DIM
+        out = np.zeros((len(feat_ids), DESC_DIM), np.float32)
+        for k, fid in enumerate(feat_ids):
+            t = self.tracks.get(fid)
+            if t is not None:
+                out[k] = t.desc
+        return out
+
     def _expire(self, frame_id):
         dead = [tid for tid, t in self.tracks.items()
                 if frame_id - t.last_frame > self.max_track_gap]

@@ -56,6 +56,14 @@ def _load():
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
         ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_double),
     ]
+    lib.slslam_lsd_detect.restype = ctypes.c_int
+    lib.slslam_lsd_detect.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, ctypes.c_float,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -79,6 +87,33 @@ def parse_obs_file(path: str, max_rows: int = 4096
     if n < 0:
         return None
     return {int(ids[k]): obs[k].copy() for k in range(n)}
+
+
+def lsd_detect(mag: np.ndarray, angle: np.ndarray, mag_threshold: float,
+               angle_tol: float, min_length: float, min_density: float,
+               max_segments: int = 4096
+               ) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """Native LSD-style region growing (frontend/detector.py hot loop).
+
+    Returns (segments (N, 4), grad_dirs (N, 2)) or None if the library is
+    unavailable.  Semantics mirror the Python fallback in detector.py
+    (cross-checked in tests/test_native.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mag = np.ascontiguousarray(mag, np.float32)
+    angle = np.ascontiguousarray(angle, np.float32)
+    H, W = mag.shape
+    segs = np.zeros((max_segments, 4), np.float64)
+    grads = np.zeros((max_segments, 2), np.float64)
+    n = lib.slslam_lsd_detect(
+        mag.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        angle.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        H, W, mag_threshold, angle_tol, min_length, min_density,
+        segs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        grads.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        max_segments)
+    return segs[:n].copy(), grads[:n].copy()
 
 
 def metric_embedding(n_kfs: int, edge_i: np.ndarray, edge_j: np.ndarray,
