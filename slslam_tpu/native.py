@@ -27,19 +27,38 @@ def _load():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB_PATH) and os.path.exists(_SRC_PATH):
+    stale = (os.path.exists(_SRC_PATH)
+             and (not os.path.exists(_LIB_PATH)
+                  or os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)))
+    if stale:
         try:
             subprocess.run(
                 ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH,
                  _SRC_PATH], check=True, capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     if not os.path.exists(_LIB_PATH):
         return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+
+    try:
+        lib.slslam_parse_obs_file
+        lib.slslam_metric_embedding
+        lib.slslam_lsd_detect
+    except AttributeError:
+        # stale binary missing a symbol: force a rebuild once
+        try:
+            subprocess.run(
+                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH,
+                 _SRC_PATH], check=True, capture_output=True, timeout=120)
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.slslam_lsd_detect
+        except Exception:
+            return None
 
     lib.slslam_parse_obs_file.restype = ctypes.c_int
     lib.slslam_parse_obs_file.argtypes = [
