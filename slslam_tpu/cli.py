@@ -41,6 +41,11 @@ def _add_engine_flags(p: argparse.ArgumentParser):
     p.add_argument("--out", default=None, help="output directory")
     p.add_argument("--plot", action="store_true",
                    help="write a map.png rendering into --out")
+    p.add_argument("--viz", action="store_true",
+                   help="write map.html into --out: a self-contained "
+                        "interactive 3D viewer (orbit/pan/zoom, top-down, "
+                        "keyframe playback) — the reference's GLFW scene "
+                        "viewer (cplot.cpp:417-433), exportable")
     p.add_argument("--refine", action="store_true",
                    help="batch engine: follow the replay with one global "
                         "bundle adjustment over every keyframe (engine/"
@@ -111,6 +116,11 @@ def _finish(slam, args, gt_rows=None):
                      slam._landmark_world_segments(min_len=0.5),
                      os.path.join(args.out, "map.png"),
                      gt_trajectory=gt_rows)
+        if getattr(args, "viz", False):
+            from .viz_interactive import export_interactive_map
+            export_interactive_map(
+                os.path.join(args.out, "map.html"), slam.trajectory(),
+                slam._landmark_world_segments(min_len=0.5), gt_rows=gt_rows)
 
     if getattr(args, "profile_dir", None):
         import jax
@@ -189,6 +199,12 @@ def _finish_batch(res, args, wall_s, poses_gt=None, frames=None, cfg=None):
                      res.world_segments(min_len=0.5),
                      os.path.join(args.out, "map.png"),
                      gt_trajectory=gt_rows)
+        if getattr(args, "viz", False):
+            from .viz_interactive import export_interactive_map
+            export_interactive_map(
+                os.path.join(args.out, "map.html"),
+                ref.trajectory if ref is not None else res.trajectory,
+                res.world_segments(min_len=0.5), gt_rows=gt_rows)
 
     if getattr(args, "profile_dir", None):
         import jax
@@ -384,6 +400,36 @@ def cmd_track(args):
     _finish(slam, args)
 
 
+def cmd_view(args):
+    """Build the interactive HTML viewer from a finished run directory
+    (trajectory.txt + landmarks.txt [+ gt_trajectory.txt, stats.json])."""
+    import numpy as np
+    from .hostgeom import Pose, rodrigues
+    from .viz_interactive import export_interactive_map
+
+    run = args.run
+    rows = np.loadtxt(os.path.join(run, args.trajectory))
+    rows = np.atleast_2d(rows)
+    traj = [Pose(rodrigues(np.asarray(r[4:7], float)),
+                 np.array([-r[2], -r[3], r[1]])) for r in rows]
+    segs = np.zeros((0, 6))
+    lm_path = os.path.join(run, "landmarks.txt")
+    if os.path.exists(lm_path):
+        lm = np.atleast_2d(np.loadtxt(lm_path))
+        if lm.size:
+            # landmark rows are (z1 -y1 x1 z2 -y2 x2), writers.py
+            segs = np.stack([lm[:, 2], -lm[:, 1], lm[:, 0],
+                             lm[:, 5], -lm[:, 4], lm[:, 3]], axis=1)
+    gt = None
+    gt_path = os.path.join(run, "gt_trajectory.txt")
+    if os.path.exists(gt_path):
+        gt = np.atleast_2d(np.loadtxt(gt_path))
+    out = args.out or os.path.join(run, "map.html")
+    export_interactive_map(out, traj, segs, gt_rows=gt,
+                           title=os.path.basename(os.path.abspath(run)))
+    print(f"wrote {out}")
+
+
 def cmd_gen(args):
     from .config import CameraConfig
     from .sim import StereoLineRenderer, house_segments, wave_trajectory
@@ -434,6 +480,17 @@ def main(argv=None):
                     help="voctree parameter preset (voctree_bf.h:24-43)")
     _add_engine_flags(pt)
     pt.set_defaults(fn=cmd_track)
+
+    pv = sub.add_parser("view",
+                        help="build the interactive HTML map viewer from a "
+                             "run directory")
+    pv.add_argument("--run", required=True, help="run output directory")
+    pv.add_argument("--trajectory", default="trajectory.txt",
+                    help="trajectory file within --run (e.g. "
+                         "trajectory_refined.txt)")
+    pv.add_argument("--out", default=None,
+                    help="output html path (default <run>/map.html)")
+    pv.set_defaults(fn=cmd_view)
 
     pg = sub.add_parser("gen", help="generate a sim sequence to disk")
     pg.add_argument("--frames", type=int, default=400)

@@ -9,6 +9,8 @@ end-to-end against known ground truth.
 
 from .house import house_segments
 from .render import StereoLineRenderer
+from .street import (OutlierInjector, corridor_segments,
+                     load_reference_poses, real_proxy_workload)
 from .tracks import SegmentDescriptorSource, TrackIdAssigner
 from .village import village_segments, village_trajectory
 from .wave import wave_trajectory

@@ -1,0 +1,251 @@
+"""Real-sequence proxy worlds: replay the reference's committed keyframe
+trajectories through a synthesized matched-scale line world.
+
+The reference's it(bt)3f / olympic4f / myungdong datasets were never
+released; only the resulting keyframe trajectories are committed
+(matlab_script/traj_slslam_*_basize10_*.txt, written by
+/root/reference/src/slam.cpp:1489-1494 as ``i t_z -t_x -t_y w0 w1 w2`` of
+the camera-to-world pose).  This module rebuilds each sequence's MOTION
+exactly from those files — so keyframe spacing (median 0.78 m), rotation
+rates, path length, and loop structure match the real recordings — and
+surrounds the path with corridor/street scenery at the sequence's scale:
+vertical building/door edges and horizontal facade lines on both sides of
+the path, the structures an LSD-style line detector actually tracks.
+
+With the renderer's visibility model this reproduces the real workloads'
+statistics the datasets would have provided: track churn (lines enter and
+leave the field of view at the real turning rate), track-length
+distributions set by the real motion, and (optionally) association
+outliers, so the full pipeline — VO RANSAC, windowed BA, lifecycle, loop
+closure — can be validated end-to-end against exact ground truth.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from ..hostgeom import Pose, rodrigues
+
+
+def load_reference_poses(path: str) -> List[Pose]:
+    """Load a reference trajectory file as world->camera poses.
+
+    Rows are ``i t_z -t_x -t_y w0 w1 w2`` of the camera-to-world pose
+    (src/slam.cpp:1489-1494); the returned poses invert that, matching the
+    sim convention (p_cam = R p_world + t) the renderer consumes.
+    """
+    rows = np.loadtxt(path)
+    poses = []
+    for r in rows:
+        t_c2w = np.array([-r[2], -r[3], r[1]])
+        R_c2w = rodrigues(np.asarray(r[4:7], float))
+        poses.append(Pose(R_c2w, t_c2w).inv())
+    return poses
+
+
+def interpolate_poses(poses_wc: List[Pose], max_rot: float = 0.05,
+                      max_trans: float = 0.25) -> List[Pose]:
+    """Subdivide keyframe-to-keyframe steps into video-rate motion.
+
+    The committed trajectories hold only KEYFRAMES (15 deg / 0.75 m gates,
+    slam.cpp:1374-1382); the real system tracked every video frame in
+    between.  Replaying raw keyframes asks VO to swallow 15-degree jumps
+    the real front-end never saw — so subdivide each step until rotation
+    <= max_rot rad and camera-center motion <= max_trans m.  Rotation
+    interpolates along the geodesic; the camera center linearly.  (The
+    interpolant need not match the unknown true inter-keyframe path — the
+    world is rendered and evaluated from the same poses.)
+    """
+    from ..hostgeom import so3_log
+    out: List[Pose] = []
+    for k in range(len(poses_wc) - 1):
+        T0, T1 = poses_wc[k], poses_wc[k + 1]
+        w_rel = so3_log(T1.R @ T0.R.T)
+        c0, c1 = T0.inv().t, T1.inv().t
+        n = max(1, int(np.ceil(np.linalg.norm(w_rel) / max_rot)),
+                int(np.ceil(np.linalg.norm(c1 - c0) / max_trans)))
+        for j in range(n):
+            s = j / n
+            R = rodrigues(s * w_rel) @ T0.R
+            c = (1.0 - s) * c0 + s * c1
+            out.append(Pose(R, -R @ c))
+    out.append(poses_wc[-1])
+    return out
+
+
+def _path_stations(positions: np.ndarray, gap: float):
+    """Resample a polyline at ~gap arc-length spacing; returns (P, tangents)."""
+    seg = np.diff(positions, axis=0)
+    seglen = np.linalg.norm(seg, axis=1)
+    s = np.concatenate([[0.0], np.cumsum(seglen)])
+    total = s[-1]
+    n = max(2, int(total / gap) + 1)
+    si = np.linspace(0.0, total, n)
+    pts = np.stack([np.interp(si, s, positions[:, k]) for k in range(3)],
+                   axis=1)
+    tan = np.gradient(pts, axis=0)
+    nrm = np.linalg.norm(tan, axis=1, keepdims=True)
+    tan = tan / np.maximum(nrm, 1e-9)
+    return pts, tan
+
+
+def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
+                      station_gap: float = 1.5, height: float = 3.0,
+                      up=(0.0, -1.0, 0.0), n_heights: int = 2,
+                      jitter: float = 0.3, seed: int = 0) -> np.ndarray:
+    """Line-segment world flanking a camera path (both sides).
+
+    At stations every ``station_gap`` meters along the path, place on each
+    side at distance ``lateral``: one vertical edge (floor to ``height``)
+    and, between consecutive stations, ``n_heights`` horizontal facade
+    lines — the door-frame / wall-corner / window-sill structure indoor and
+    street sequences actually contain.  ``up`` is the world up direction
+    (the reference's saved frame has camera-y pointing down, so up=-y).
+    Returns (N, 6) world segments (x1 y1 z1 x2 y2 z2).
+    """
+    rng = np.random.default_rng(seed)
+    up = np.asarray(up, float)
+    up = up / np.linalg.norm(up)
+    centers = np.stack([T.inv().t for T in poses_wc])   # camera positions
+    pts, tan = _path_stations(centers, station_gap)
+    # project tangents off the up axis so lateral is horizontal
+    tan = tan - (tan @ up)[:, None] * up[None, :]
+    tan /= np.maximum(np.linalg.norm(tan, axis=1, keepdims=True), 1e-9)
+    lat = np.cross(up[None, :], tan)
+    lat /= np.maximum(np.linalg.norm(lat, axis=1, keepdims=True), 1e-9)
+
+    # floor height: a bit below the camera path
+    floor = pts - 1.2 * up[None, :]
+
+    segs = []
+    for side in (-1.0, 1.0):
+        base = floor + side * lateral * lat \
+            + rng.normal(0.0, jitter, floor.shape) * 0.5
+        # vertical edges at every station
+        for k in range(len(pts)):
+            h = height * rng.uniform(0.7, 1.3)
+            segs.append(np.concatenate([base[k], base[k] + h * up]))
+        # horizontal facade lines between consecutive stations — kept away
+        # from camera height (the path runs ~1.2 above the floor): a wall
+        # line at exactly camera height is coplanar with the stereo
+        # baseline, the known triangulation degeneracy (verify SKILL.md;
+        # both back-projected planes coincide)
+        for k in range(len(pts) - 1):
+            for j in range(n_heights):
+                h = (0.45 if j == 0 else 2.2) + rng.uniform(-0.2, 0.2)
+                a = base[k] + h * up
+                b = base[k + 1] + h * up
+                segs.append(np.concatenate([a, b]))
+        # oblique edges (door frames, braces, shopfront diagonals): a
+        # vertical component keeps them off the epipolar plane everywhere
+        for k in range(len(pts) - 1):
+            h1 = height * rng.uniform(0.05, 0.45)
+            h2 = height * rng.uniform(0.55, 0.95)
+            a = base[k] + h1 * up
+            b = base[k + 1] + h2 * up
+            segs.append(np.concatenate([a, b]))
+    return np.asarray(segs)
+
+
+class OutlierInjector:
+    """Swap a fraction of per-frame track ids — association outliers.
+
+    A real matcher's failure mode is the wrong correspondence, not noise:
+    two similar lines swap identities.  Swapping ids (rather than
+    corrupting coordinates) keeps every observation geometrically valid
+    for SOME line while being an outlier for the track it is filed under —
+    exactly what VO RANSAC (slam.cpp:640-689 role) and the Huber loss in
+    BA must reject.
+    """
+
+    def __init__(self, frac: float = 0.05, seed: int = 0):
+        self.frac = frac
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, obs: Dict[int, np.ndarray]) -> Dict[int, np.ndarray]:
+        ids = list(obs.keys())
+        n_swap = int(len(ids) * self.frac / 2.0 + self.rng.random())
+        if n_swap == 0 or len(ids) < 4:
+            return obs
+        out = dict(obs)
+        pick = self.rng.choice(len(ids), size=min(2 * n_swap, len(ids) // 2 * 2),
+                               replace=False)
+        for a, b in pick.reshape(-1, 2):
+            out[ids[a]], out[ids[b]] = obs[ids[b]], obs[ids[a]]
+        return out
+
+
+SEQUENCES = {
+    # name -> (trajectory file stem, corridor lateral half-width in m)
+    # itbt3f: indoor 3rd-floor corridor; olympic4f: large indoor concourse;
+    # myungdong: outdoor shopping street (wider facades).
+    "itbt3f": ("traj_slslam_itbt3f_basize10_wolc.txt", 3.0),
+    "olympic4f": ("traj_slslam_olympic4f_basize10_wolc.txt", 5.0),
+    "myungdong": ("traj_slslam_myungdong_basize10_wolc.txt", 7.0),
+}
+
+
+def real_proxy_workload(sequence: str, max_frames: int | None = None,
+                        noise_px: float = 0.5, outlier_frac: float = 0.0,
+                        max_gap: int = 5, seed: int = 0, interpolate=False,
+                        ref_dir: str = "/root/reference/matlab_script"):
+    """Build the full proxy workload for a named real sequence.
+
+    max_frames counts KEYFRAMES of the committed trajectory; with
+    interpolate=True the returned frames subdivide those keyframe steps to
+    video rate (interpolate_poses) and the engine should run its own
+    keyframe gates.  Returns (frames, poses_gt, segments, stats) where
+    frames are track-id-keyed observation dicts ready for the engines,
+    poses_gt the world->camera ground truth per frame, and stats the
+    realized workload statistics (obs/frame, churn, track lengths).
+    """
+    from ..config import CameraConfig
+    from .render import StereoLineRenderer
+    from .tracks import TrackIdAssigner
+
+    stem, lateral = SEQUENCES[sequence]
+    all_poses = load_reference_poses(f"{ref_dir}/{stem}")
+    poses = all_poses[:max_frames] if max_frames else all_poses
+    # build the world from a slightly longer pose range so a truncated
+    # replay still has scenery ahead of the last camera
+    world_poses = all_poses[:max_frames + 15] if max_frames else all_poses
+    segs = corridor_segments(world_poses, lateral=lateral, seed=seed)
+    if interpolate:
+        poses = interpolate_poses(poses)
+    ren = StereoLineRenderer(segs, CameraConfig(), noise_px=noise_px,
+                             seed=seed)
+    assigner = TrackIdAssigner(max_gap=max_gap)
+    inject = OutlierInjector(outlier_frac, seed=seed + 1) \
+        if outlier_frac > 0 else (lambda o: o)
+
+    frames = []
+    first_seen: Dict[int, int] = {}
+    last_seen: Dict[int, int] = {}
+    n_obs = []
+    for i, T in enumerate(poses):
+        obs = assigner.assign(i, inject(ren.observe(T)))
+        frames.append(obs)
+        n_obs.append(len(obs))
+        for tid in obs:
+            first_seen.setdefault(tid, i)
+            last_seen[tid] = i
+
+    lengths = np.array([last_seen[t] - first_seen[t] + 1
+                        for t in first_seen]) if first_seen else np.zeros(1)
+    churn = len(first_seen) / max(len(poses), 1)
+    stats = dict(
+        sequence=sequence,
+        num_frames=len(poses),
+        num_world_segments=len(segs),
+        num_tracks=len(first_seen),
+        obs_per_frame_mean=float(np.mean(n_obs)),
+        obs_per_frame_min=int(np.min(n_obs)),
+        track_len_median=float(np.median(lengths)),
+        track_len_p90=float(np.percentile(lengths, 90)),
+        new_tracks_per_frame=round(churn, 2),
+        outlier_frac=outlier_frac,
+        noise_px=noise_px,
+    )
+    return frames, poses, segs, stats

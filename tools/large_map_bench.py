@@ -40,8 +40,14 @@ HALF_W = 327.783 / 406.05   # normalized image half-extent (parameter.h:43-52)
 HALF_H = 237.172 / 406.05
 
 
-def _path_poses(C: int, radius: float = 60.0):
-    """C world->cam poses on a circle, camera z along the tangent."""
+def _path_poses(C: int, spacing: float = 0.78):
+    """C world->cam poses on a circle, camera z along the tangent.
+
+    The radius scales with C so consecutive cameras stay ``spacing`` apart
+    — 0.78 m is the reference's real-sequence median keyframe spacing
+    (traj_slslam_*_basize10 files; the 0.75 m keyframe gate).
+    """
+    radius = C * spacing / (2.0 * np.pi)
     th = np.linspace(0.0, 2.0 * np.pi, C, endpoint=False)
     pos = np.stack([radius * np.cos(th), np.zeros(C), radius * np.sin(th)],
                    axis=1)                                   # (C, 3) world
@@ -53,14 +59,18 @@ def _path_poses(C: int, radius: float = 60.0):
     return R_cw, t, pos, z
 
 
-def make_survey_problem(C=2048, lines_per_anchor=8, band=6, noise_px=0.3,
-                        seed=0):
+def make_survey_problem(C=2048, lines_per_anchor=8, band_m=10.0,
+                        noise_px=0.3, spacing=0.78, seed=0):
     """Synthesize the survey-loop BA problem (all vectorized numpy).
 
-    Returns dict with GT cams/lines, observations, and index arrays.
+    band_m: metric look-ahead — camera c sees lines anchored within
+    +-band_m meters along the path (so the track length in keyframes is
+    independent of C).  Returns dict with GT cams/lines, observations, and
+    index arrays.
     """
     rng = np.random.default_rng(seed)
-    R_cw, t_wc, pos, tangent = _path_poses(C)
+    R_cw, t_wc, pos, tangent = _path_poses(C, spacing)
+    band = max(1, int(round(band_m / spacing)))
     L = C * lines_per_anchor
 
     # landmarks: anchored at path point, lateral offset 3-9 m, random dir
@@ -166,14 +176,15 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--cams", type=int, default=2048)
     ap.add_argument("--lines-per-cam", type=int, default=8)
-    ap.add_argument("--band", type=int, default=6)
+    ap.add_argument("--band-m", type=float, default=10.0)
+    ap.add_argument("--spacing", type=float, default=0.78)
     ap.add_argument("--noise-px", type=float, default=0.3)
     ap.add_argument("--cam-sigma-rot", type=float, default=0.005)
     ap.add_argument("--cam-sigma-t", type=float, default=0.05)
     ap.add_argument("--line-sigma-cp-m", type=float, default=0.05)
     ap.add_argument("--line-sigma-dir-rad", type=float, default=0.005)
-    ap.add_argument("--max-iters", type=int, default=15)
-    ap.add_argument("--cg-iters", type=int, default=60)
+    ap.add_argument("--max-iters", type=int, default=30)
+    ap.add_argument("--cg-iters", type=int, default=100)
     ap.add_argument("--warm-runs", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
@@ -194,7 +205,8 @@ def main(argv=None):
     t0 = time.perf_counter()
     prob = make_survey_problem(C=args.cams,
                                lines_per_anchor=args.lines_per_cam,
-                               band=args.band, noise_px=args.noise_px)
+                               band_m=args.band_m, spacing=args.spacing,
+                               noise_px=args.noise_px)
     C = len(prob["cam_wt"])
     L = len(prob["lines_w"])
     O = len(prob["obs"])
@@ -252,6 +264,7 @@ def main(argv=None):
     cost_an = compiled.cost_analysis() or {}
     mem_an = compiled.memory_analysis()
     flops = float(cost_an.get("flops", 0.0))
+    bytes_acc = float(cost_an.get("bytes accessed", 0.0))
     hbm_bytes = None
     if mem_an is not None:
         hbm_bytes = int(getattr(mem_an, "temp_size_in_bytes", 0)
@@ -313,6 +326,9 @@ def main(argv=None):
         xla_flops_per_solve=flops,
         achieved_gflops_s=round(flops_exec / warm_s / 1e9, 1)
         if flops else None,
+        achieved_hbm_gb_s=round(
+            bytes_acc * (iters + 1) / (args.max_iters + 1)
+            / warm_s / 1e9, 1) if bytes_acc else None,
         obs_per_s=round(O * max(iters, 1) / warm_s / 1e6, 2),
     )
     print(json.dumps(out))

@@ -1,0 +1,119 @@
+"""Real-sequence proxy validation: the reference's it(bt)3f / olympic4f /
+myungdong keyframe motions replayed through matched-scale synthetic worlds.
+
+The real datasets were never released; their committed keyframe
+trajectories (matlab_script/traj_slslam_*_basize10_wolc.txt) are replayed
+as exact ground-truth motion through corridor/street line worlds at each
+sequence's scale (slslam_tpu/sim/street.py), with realistic track churn and
+optional association outliers.  The full device-resident pipeline (batch
+replay -> windowed Schur-LM BA -> global refine) runs on each and reports
+ATE vs ground truth — the end-to-end validation the missing datasets
+otherwise prevent.
+
+Usage:
+    python tools/real_proxy.py                     # all three, CPU f64
+    python tools/real_proxy.py --seq myungdong --outlier-frac 0.05
+    python tools/real_proxy.py --tpu               # run on the chip, f32
+Prints one JSON line per sequence.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def run_sequence(seq, args):
+    from slslam_tpu.config import SlamConfig
+    from slslam_tpu.engine.batch import BatchSlam
+    from slslam_tpu.engine.refine import global_refine
+    from slslam_tpu.sim.street import real_proxy_workload
+
+    import jax
+    platform = jax.devices()[0].platform
+    interp = not args.no_interp
+    if interp:
+        # video-rate replay: the engine runs its own keyframe gates
+        # (15 deg / 0.75 m, the reference's; slam.cpp:1374-1382)
+        cfg = dataclasses.replace(
+            SlamConfig(),
+            compute_dtype="float64" if platform == "cpu" else "float32")
+    else:
+        # raw keyframe replay: every input pose IS a keyframe
+        cfg = dataclasses.replace(
+            SlamConfig(),
+            compute_dtype="float64" if platform == "cpu" else "float32",
+            kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+
+    frames, poses_gt, segs, stats = real_proxy_workload(
+        seq, max_frames=args.max_frames, noise_px=args.noise_px,
+        outlier_frac=args.outlier_frac, seed=args.seed, interpolate=interp)
+
+    t0 = time.perf_counter()
+    eng = BatchSlam(cfg)
+    res = eng.run(frames)
+    ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+    wall = time.perf_counter() - t0
+
+    kf_idx = np.flatnonzero(np.asarray(res.is_kf))
+
+    def ate(traj):
+        T0 = poses_gt[kf_idx[0]]
+        gt = [(poses_gt[i] @ T0.inv()).inv() for i in kf_idx]
+        return float(np.mean([np.linalg.norm(T.t - g.t)
+                              for T, g in zip(traj, gt)]))
+
+    path_len = float(np.sum(np.linalg.norm(
+        np.diff(np.stack([T.inv().t for T in poses_gt]), axis=0), axis=1)))
+    out = dict(stats)
+    out.update(
+        platform=platform,
+        keyframes=res.kf_count,
+        path_len_m=round(path_len, 1),
+        wall_s=round(wall, 2),
+        ate_raw_m=round(ate(res.trajectory), 4),
+        ate_refined_m=round(ate(ref.trajectory), 4),
+        ate_refined_pct_of_path=round(
+            100.0 * ate(ref.trajectory) / path_len, 3),
+        avg_ba_iterations=round(res.stats["avg_num_iterations"], 2),
+    )
+    print(json.dumps(out))
+    return out
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seq", default=None,
+                    help="itbt3f / olympic4f / myungdong (default: all)")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--noise-px", type=float, default=0.5)
+    ap.add_argument("--outlier-frac", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--no-interp", action="store_true",
+                    help="replay raw keyframe poses (15-degree jumps at "
+                         "corners) instead of video-rate interpolation")
+    args = ap.parse_args(argv)
+
+    import jax
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+
+    from slslam_tpu.sim.street import SEQUENCES
+    seqs = [args.seq] if args.seq else list(SEQUENCES)
+    for seq in seqs:
+        run_sequence(seq, args)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
