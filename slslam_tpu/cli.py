@@ -46,6 +46,13 @@ def _add_engine_flags(p: argparse.ArgumentParser):
                         "interactive 3D viewer (orbit/pan/zoom, top-down, "
                         "keyframe playback) — the reference's GLFW scene "
                         "viewer (cplot.cpp:417-433), exportable")
+    p.add_argument("--live-dir", default=None,
+                   help="interactive engine: write per-frame stereo "
+                        "tracking views (tracking_%%05d.png) here — the "
+                        "reference's live drawImageTracking window "
+                        "(cplot.cpp:260-340)")
+    p.add_argument("--live-every", type=int, default=10,
+                   help="tracking-view cadence in frames (with --live-dir)")
     p.add_argument("--refine", action="store_true",
                    help="batch engine: follow the replay with one global "
                         "bundle adjustment over every keyframe (engine/"
@@ -258,6 +265,13 @@ def cmd_sim(args):
     for i, T in enumerate(poses_gt):
         if i > args.stopfrm:
             break
+        if getattr(args, "live_dir", None) and i % args.live_every == 0:
+            from .viz import plot_observations
+            plot_observations(
+                None, None, ren.observe_pixels(T),
+                os.path.join(args.live_dir, f"tracking_{i:05d}.png"),
+                image_size=(cfg.camera.image_width, cfg.camera.image_height),
+                title=f"frame {i}")
         if slam.process_frame(ren.observe(T), i):
             kf_frames.append(i)
             _maybe_checkpoint(slam, args, len(kf_frames))
@@ -392,7 +406,16 @@ def cmd_track(args):
     for frame_id, (pl_, pr_) in frames():
         if frame_id > args.stopfrm:
             break
-        obs = matcher.process(frame_id, *load(pl_, pr_))
+        img_l, img_r = load(pl_, pr_)
+        obs = matcher.process(frame_id, img_l, img_r)
+        if getattr(args, "live_dir", None) \
+                and frame_id % args.live_every == 0:
+            from .viz import plot_observations
+            plot_observations(
+                img_l, img_r, obs,
+                os.path.join(args.live_dir,
+                             f"tracking_{frame_id:05d}.png"),
+                title=f"frame {frame_id}")
         slam.process_frame(obs, frame_id, normalized=False)
         n += 1
     print(f"processed {n} stereo frames, {len(slam.state.kfs)} keyframes, "

@@ -112,12 +112,38 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
     # carry a majority of loose "inliers" (measured: an 8-of-11 edge sat
     # 3.5 m off), but rarely survives the refit
     ferr = np.asarray(res.final_errors)
-    n_final = int(np.sum((ferr < cfg.error_thr) & valid))
+    final_inl = (ferr < cfg.error_thr) & valid
+    n_final = int(np.sum(final_inl))
     wt = np.asarray(res.wt, np.float64)
     min_score = max(cfg.lc_min_inliers,
                     int(np.ceil(cfg.lc_min_inlier_ratio * n)))
     if n_final < min_score or not np.all(np.isfinite(wt)):
         return None, n_final, n
+
+    # polish with a 2-camera FREE-LINE bundle adjustment: the moBA above
+    # holds the old keyframe's stereo-triangulated lines fixed, so its
+    # depth noise (z^2/bf scaling) biases the loop edge by meters at
+    # street depths; re-triangulating jointly from both stereo pairs is
+    # the unbiased estimate (measured on the myungdong proxy: 1.76 m ->
+    # centimeters).  cam0 = old kf (gauge), cam1 = the loop edge.
+    from .. import geometry as geo
+    from ..ops.schur_ba import local_ba
+
+    cam2 = jnp.stack([jnp.zeros(6, dtype), jnp.asarray(wt, dtype)])
+    orth = geo.av_to_orth(lines)
+    obs2 = jnp.concatenate([jnp.asarray(o0, dtype), jnp.asarray(o1, dtype)])
+    oc2 = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)])
+    ol2 = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)] * 2)
+    ov2 = jnp.asarray(np.concatenate([final_inl, final_inl]))
+    cfree = jnp.asarray(np.array([False, True]))
+    lfree = jnp.asarray(final_inl)
+    cam_out, _, _ = local_ba(cam2, orth, obs2, oc2, ol2, ov2, cfree, lfree,
+                             jnp.asarray(cfg.camera.baseline, dtype),
+                             jnp.asarray(cfg.huber_delta, dtype),
+                             robust=cfg.robust, max_iters=cfg.max_num_iter)
+    wt_polished = np.asarray(cam_out, np.float64)[1]
+    if np.all(np.isfinite(wt_polished)):
+        wt = wt_polished
     return wt, n_final, n
 
 
@@ -239,12 +265,23 @@ class BatchSlamLC:
         t1 = time.perf_counter()
         if self.recognizer is not None and self.descriptor_source is not None:
             base_key = jax.random.PRNGKey(cfg.rseed ^ 0x10C)
-            for k, f in enumerate(kf_idx):
-                fids = sorted(frames[f])
-                desc = self.descriptor_source(int(f), fids)
-                hit = self.recognizer.query_and_insert(k, fids, desc)
+            fids_list = [sorted(frames[f]) for f in kf_idx]
+            if hasattr(self.recognizer, "recognize_all"):
+                # batched recognition: the whole timeline in one scan
+                # (loopclosure/batch.py) — the TPU-fast path
+                descs = [self.descriptor_source(int(f), fids)
+                         for f, fids in zip(kf_idx, fids_list)]
+                hits = self.recognizer.recognize_all(
+                    list(range(len(kf_idx))), fids_list, descs)
+            else:
+                hits = [self.recognizer.query_and_insert(
+                    k, fids_list[k],
+                    self.descriptor_source(int(f), fids_list[k]))
+                    for k, f in enumerate(kf_idx)]
+            for k, hit in enumerate(hits):
                 if hit is None:
                     continue
+                f = kf_idx[k]
                 old_k, match = hit
                 key = jax.random.fold_in(base_key, int(f))
                 wt, score, n = _loop_relative_pose(
@@ -256,6 +293,31 @@ class BatchSlamLC:
                 if ev.accepted:
                     loop_edges.append((old_k, k, wt))
         t_recog = time.perf_counter() - t1
+
+        # dedup correlated loop edges: a revisit pass fires the recognizer
+        # on EVERY keyframe (the reference closes the loop each time too,
+        # but online PGO re-consolidates incrementally); in deferred mode
+        # 30 edges between the same two path sections share the same old
+        # keyframes and the same scene, so their errors are correlated —
+        # together they act as one over-weighted biased constraint that
+        # can drag an accurate odometry chain.  Keep the highest-scoring
+        # edge per contiguous revisit run.
+        if loop_edges:
+            runs = []
+            ev_by_new = {e.new_kf: e for e in events if e.accepted}
+            keys = sorted(ev_by_new)
+            group = [keys[0]]
+            for k in keys[1:]:
+                if k - group[-1] <= 2:
+                    group.append(k)
+                else:
+                    runs.append(group)
+                    group = [k]
+            runs.append(group)
+            keep_new = {max(g, key=lambda k: ev_by_new[k].ransac_score)
+                        for g in runs}
+            loop_edges = [(o, n, wt) for (o, n, wt) in loop_edges
+                          if n in keep_new]
 
         t2 = time.perf_counter()
         if loop_edges:

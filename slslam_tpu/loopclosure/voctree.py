@@ -324,14 +324,19 @@ class VocTree:
             return None
 
         ins_id, ins_feats = self._buffer.pop(0)
-        if len(ins_feats) == 0:
-            return None
         if ins_id != self.doc_size:
             raise ValueError(
                 f"documents must insert sequentially: got id {ins_id}, "
                 f"expected {self.doc_size}")
         if ins_id + 1 > self._cap_docs:
             self._grow(ins_id + 1)
+        if len(ins_feats) == 0:
+            # featureless keyframe: keep the id sequence dense with an
+            # empty row (no leaves, no population).  The reference would
+            # divide by featcnt==0 here (voctree_bf.h:246-268) — empty
+            # documents are simply out of its contract.
+            self.doc_size += 1
+            return ins_id
 
         w = 1.0 / len(ins_feats)
         leaves = self.find_leaves(ins_feats)

@@ -83,25 +83,26 @@ def pack_line_major(obs, obs_cam, obs_line, num_cams, num_lines,
     ob = np.zeros((L, kL, 8))
     oc = np.zeros((L, kL), np.int32)
     ov = np.zeros((L, kL), bool)
-    slot_l = np.zeros(L, np.int64)
+    # slot within bucket = rank among observations of the same line
+    # (vectorized: stable sort by line, then index minus group start)
+    order = np.argsort(obs_line, kind="stable")
+    ls = obs_line[order]
+    start_l = np.searchsorted(ls, np.arange(L))
+    slot = np.arange(O) - start_l[ls] if O else np.zeros(0, np.int64)
+    ob[ls, slot] = obs[order]
+    oc[ls, slot] = obs_cam[order]
+    ov[ls, slot] = True
     flat_of = np.empty(O, np.int64)
-    for o in range(O):
-        l = obs_line[o]
-        k = slot_l[l]
-        ob[l, k] = obs[o]
-        oc[l, k] = obs_cam[o]
-        ov[l, k] = True
-        flat_of[o] = l * kL + k
-        slot_l[l] += 1
+    flat_of[order] = ls * kL + slot
 
     cp = np.zeros((C, kC), np.int32)
     cpv = np.zeros((C, kC), bool)
-    slot_c = np.zeros(C, np.int64)
-    for o in range(O):
-        c = obs_cam[o]
-        cp[c, slot_c[c]] = flat_of[o]
-        cpv[c, slot_c[c]] = True
-        slot_c[c] += 1
+    order_c = np.argsort(obs_cam, kind="stable")
+    cs = obs_cam[order_c]
+    start_c = np.searchsorted(cs, np.arange(C))
+    slot_c = np.arange(O) - start_c[cs] if O else np.zeros(0, np.int64)
+    cp[cs, slot_c] = flat_of[order_c]
+    cpv[cs, slot_c] = True
 
     fill = O / max(L * kL, 1)
     return LineMajorProblem(ob, oc, ov, cp, cpv, kL, kC, fill)

@@ -190,6 +190,7 @@ SEQUENCES = {
 def real_proxy_workload(sequence: str, max_frames: int | None = None,
                         noise_px: float = 0.5, outlier_frac: float = 0.0,
                         max_gap: int = 5, seed: int = 0, interpolate=False,
+                        assigner=None,
                         ref_dir: str = "/root/reference/matlab_script"):
     """Build the full proxy workload for a named real sequence.
 
@@ -216,7 +217,8 @@ def real_proxy_workload(sequence: str, max_frames: int | None = None,
         poses = interpolate_poses(poses)
     ren = StereoLineRenderer(segs, CameraConfig(), noise_px=noise_px,
                              seed=seed)
-    assigner = TrackIdAssigner(max_gap=max_gap)
+    if assigner is None:
+        assigner = TrackIdAssigner(max_gap=max_gap)
     inject = OutlierInjector(outlier_frac, seed=seed + 1) \
         if outlier_frac > 0 else (lambda o: o)
 

@@ -55,14 +55,25 @@ def plot_map(trajectory, segments, out_path: str,
     plt.close(fig)
 
 
-def plot_observations(img_left, img_right, obs, out_path: str):
+def plot_observations(img_left, img_right, obs, out_path: str,
+                      image_size=(640, 480), title: str = None):
     """Stereo image pair with tracked segments overlaid in per-id colors
-    (the reference's drawObservation, cplot.cpp:260-340)."""
+    (the reference's live tracking view: drawObservation /
+    drawImageTracking, cplot.cpp:260-340).  Images may be None (sequences
+    replayed from line-track files have no pixels) — segments then draw on
+    a blank canvas of ``image_size``."""
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
+    if img_left is None:
+        img_left = np.full((image_size[1], image_size[0]), 235, np.uint8)
+    if img_right is None:
+        img_right = np.full((image_size[1], image_size[0]), 235, np.uint8)
+
     fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    if title:
+        fig.suptitle(title)
     for ax, img in zip(axes, (img_left, img_right)):
         ax.imshow(img, cmap="gray", vmin=0, vmax=255)
         ax.axis("off")

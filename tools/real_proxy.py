@@ -53,14 +53,48 @@ def run_sequence(seq, args):
             compute_dtype="float64" if platform == "cpu" else "float32",
             kf_rot_thr=1e-9, kf_tr_thr=1e-9)
 
+    from slslam_tpu.sim.tracks import TrackIdAssigner
+    assigner = TrackIdAssigner(max_gap=5)
     frames, poses_gt, segs, stats = real_proxy_workload(
         seq, max_frames=args.max_frames, noise_px=args.noise_px,
-        outlier_frac=args.outlier_frac, seed=args.seed, interpolate=interp)
+        outlier_frac=args.outlier_frac, seed=args.seed, interpolate=interp,
+        assigner=assigner)
 
+    lc_res = None
     t0 = time.perf_counter()
-    eng = BatchSlam(cfg)
-    res = eng.run(frames)
-    ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+    if args.lc:
+        # wlc configuration: all three sequences return to their start
+        # (closest early/late revisit 0.6-4.8 m) — the reason the
+        # reference publishes wlc trajectories (BASELINE.md section 2)
+        from slslam_tpu.engine.batch_lc import BatchSlamLC
+        from slslam_tpu.loopclosure import (PlaceRecognizer, VocTree,
+                                            build_vocabulary)
+        from slslam_tpu.loopclosure.voctree import VocTreeParams
+        from slslam_tpu.sim.tracks import SegmentDescriptorSource
+
+        desc_src = SegmentDescriptorSource(assigner, len(segs), noise=0.01,
+                                           seed=args.seed + 7)
+        rng0 = np.random.default_rng(0)
+        samples = np.concatenate([
+            desc_src.base + rng0.standard_normal(
+                desc_src.base.shape).astype(np.float32) * 0.02
+            for _ in range(4)])
+        samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+        vocab = build_vocabulary(samples, seed=0, kmeans_iters=2)
+        params = VocTreeParams(non_consider_recent=30,
+                               consider_seq_length=4, threshold=0.25,
+                               num_avg_words=30)
+        rec = PlaceRecognizer(VocTree(vocab, params), min_matches=8,
+                              min_similarity=0.8)
+        eng = BatchSlamLC(cfg, recognizer=rec, descriptor_source=desc_src,
+                          refine=True, refine_rounds=1)
+        lc_res = eng.run(frames)
+        res, traj_final = lc_res.base, lc_res.trajectory
+    else:
+        eng = BatchSlam(cfg)
+        res = eng.run(frames)
+        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        traj_final = ref.trajectory
     wall = time.perf_counter() - t0
 
     kf_idx = np.flatnonzero(np.asarray(res.is_kf))
@@ -80,11 +114,16 @@ def run_sequence(seq, args):
         path_len_m=round(path_len, 1),
         wall_s=round(wall, 2),
         ate_raw_m=round(ate(res.trajectory), 4),
-        ate_refined_m=round(ate(ref.trajectory), 4),
+        ate_refined_m=round(ate(traj_final), 4),
         ate_refined_pct_of_path=round(
-            100.0 * ate(ref.trajectory) / path_len, 3),
+            100.0 * ate(traj_final) / path_len, 3),
         avg_ba_iterations=round(res.stats["avg_num_iterations"], 2),
     )
+    if lc_res is not None:
+        out.update(
+            num_loop_closures=lc_res.stats["num_loop_closures"],
+            num_merged_tracks=lc_res.stats["num_merged_tracks"],
+        )
     print(json.dumps(out))
     return out
 
@@ -101,6 +140,9 @@ def main(argv=None):
     ap.add_argument("--no-interp", action="store_true",
                     help="replay raw keyframe poses (15-degree jumps at "
                          "corners) instead of video-rate interpolation")
+    ap.add_argument("--lc", action="store_true",
+                    help="wlc configuration: voctree place recognition + "
+                         "loop closure + PGO + merged global refine")
     args = ap.parse_args(argv)
 
     import jax
