@@ -151,22 +151,25 @@ def bench_lc(platform, t_start):
     import numpy as np
     from slslam_tpu.config import SlamConfig
     from slslam_tpu.engine.batch_lc import BatchSlamLC
-    from slslam_tpu.loopclosure import (PlaceRecognizer, VocTree,
-                                        build_vocabulary)
+    from slslam_tpu.loopclosure import VocTree, build_vocabulary
+    from slslam_tpu.loopclosure.batch import BatchPlaceRecognizer
     from slslam_tpu.loopclosure.voctree import VocTreeParams
     from slslam_tpu.sim import (SegmentDescriptorSource, StereoLineRenderer,
                                 TrackIdAssigner, village_segments,
                                 village_trajectory)
 
-    num_frames = 400
+    # the 170-frame drifted-orbit configuration of
+    # tests/test_batch_lc.py::test_village_batch_lc_end_to_end — the
+    # config whose LC-beats-odometry property is CI-guarded
+    num_frames = 170
     cfg = dataclasses.replace(
         SlamConfig(),
         compute_dtype="float64" if platform == "cpu" else "float32",
         kf_rot_thr=1e-9, kf_tr_thr=1e-9)
 
-    segs = village_segments(n_houses=8, ring_radius=10.0)
-    poses_gt = village_trajectory(num_frames=num_frames, arc=2.6 * np.pi,
-                                  orbit_radius=4.0)
+    segs = village_segments(n_houses=6, ring_radius=9.0)
+    poses_gt = village_trajectory(num_frames=num_frames, arc=2.7 * np.pi,
+                                  orbit_radius=3.8)
     ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.3, seed=1)
     assigner = TrackIdAssigner(max_gap=5)
     desc_src = SegmentDescriptorSource(assigner, len(segs), noise=0.01,
@@ -180,17 +183,17 @@ def bench_lc(platform, t_start):
     samples = np.concatenate([
         desc_src.base + rng0.standard_normal(
             desc_src.base.shape).astype(np.float32) * 0.02
-        for _ in range(4)])
+        for _ in range(3)])
     samples /= np.linalg.norm(samples, axis=1, keepdims=True)
     vocab = build_vocabulary(samples, seed=0, kmeans_iters=2)
-    params = VocTreeParams(non_consider_recent=20, consider_seq_length=4,
+    params = VocTreeParams(non_consider_recent=10, consider_seq_length=4,
                            threshold=0.25, num_avg_words=30)
 
     def make_engine():
-        rec = PlaceRecognizer(VocTree(vocab, params), min_matches=8,
-                              min_similarity=0.8)
+        rec = BatchPlaceRecognizer(VocTree(vocab, params), min_matches=8,
+                                   min_similarity=0.8)
         return BatchSlamLC(cfg, recognizer=rec, descriptor_source=desc_src,
-                           refine=True, refine_rounds=1)
+                           refine=True, refine_rounds=2)
 
     def ate(traj, kfi):
         T0 = poses_gt[kfi[0]]

@@ -69,6 +69,21 @@ class SlamConfig:
     inverse_depth: float = 0.1
     kf_rot_thr: float = 15.0 * math.pi / 180.0
     kf_tr_thr: float = 0.75
+    # PGO consistency gate (slam.cpp:1215-1232 reuses the keyframe
+    # constants; kept independent here so workloads that disable the
+    # keyframe gates — every-frame-keyframe replays — still gate PGO at
+    # the reference's fixed 15 deg / 0.75 m)
+    pgo_consistency_rot_thr: float = 15.0 * math.pi / 180.0
+    pgo_consistency_tr_thr: float = 0.75
+    # global-refine odometry-chain prior (ops/schur_cg.py prior_c): sigma
+    # per consecutive-keyframe edge.  Deliberately WEAK: a null mode (no
+    # observation information) is pinned by any prior weight at all, while
+    # observable corrections — e.g. the 0.03 m/edge frozen-triangulation
+    # errors the every-frame-keyframe replay needs fixed — must not be
+    # blocked; measured: sigma_t=0.1 froze that workload at its odometry
+    # ATE, sigma_t>=2 releases it while the village ring stays pinned
+    refine_prior_sigma_rot: float = 0.2
+    refine_prior_sigma_t: float = 2.0
     line_vn_angle_thr: float = 3.0 * math.pi / 180.0
     extension_length: float = 5.0
 

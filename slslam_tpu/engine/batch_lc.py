@@ -157,7 +157,8 @@ def _consistency_broken(poses_wt: np.ndarray, edges: Sequence[Tuple[int,
         C = Pose.from_wt(c)
         D = (Tj @ Ti.inv()) @ C.inv()
         ang = np.linalg.norm(Pose(D.R, np.zeros(3)).wt()[:3])
-        if ang >= cfg.kf_rot_thr or np.linalg.norm(D.t) >= cfg.kf_tr_thr:
+        if ang >= cfg.pgo_consistency_rot_thr \
+                or np.linalg.norm(D.t) >= cfg.pgo_consistency_tr_thr:
             return True
     return False
 

@@ -224,7 +224,9 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                   max_iters: int = 25,
                   min_obs: int = 2,
                   rounds: int = 2,
-                  method: str = "auto") -> RefineResult:
+                  method: str = "auto",
+                  odometry_prior: bool = False,
+                  _prior_c: Optional[np.ndarray] = None) -> RefineResult:
     """Globally bundle-adjust a replayed sequence.
 
     Use after BatchSlam.run (or the interactive engine) on odometry-chain
@@ -238,11 +240,29 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
     -> 0.037 (2 rounds); a 3rd round oscillates within noise.
     """
     cfg = config or SlamConfig()
+    # Optional odometry-chain prior: constraints come from the trajectory
+    # the refine was CALLED with (the replay's odometry/stitched chain —
+    # the measurement), not from intermediate rounds' estimates.  It pins
+    # the global BA's weakly observable bending modes (band-local
+    # visibility: survey rings, outward-looking orbits) that the
+    # pure-observation ML estimate wanders in.  OFF by default: the prior
+    # necessarily also resists observable corrections (measured on the
+    # every-frame-keyframe house replay: ATE 0.0015 without prior, 0.046
+    # with the weak sigma, 0.42 with a strong one), so use it for
+    # odometry-grade maps whose loops are NOT closed; once loop closure
+    # merges revisit tracks, the merged observations rigidify the weak
+    # modes and the unconstrained ML solve is the better estimator.
+    if odometry_prior and _prior_c is None and len(trajectory) > 1:
+        _prior_c = np.stack([
+            (trajectory[i + 1].inv() @ trajectory[i]).wt()
+            for i in range(len(trajectory) - 1)])
     inner = None
     if rounds > 1:
         inner = global_refine(frames, is_kf, trajectory, config=cfg,
                               max_iters=max_iters, min_obs=min_obs,
-                              rounds=rounds - 1, method=method)
+                              rounds=rounds - 1, method=method,
+                              odometry_prior=odometry_prior,
+                              _prior_c=_prior_c)
         trajectory = inner.trajectory
     dtype = jnp.dtype(cfg.compute_dtype)
 
@@ -259,11 +279,12 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
     if method == "auto":
         # dense is fastest only for small problems on CPU; on accelerators
         # its scatter/one-hot assembly loses to the CG path's bucketed
-        # dense reductions at any size
+        # dense reductions at any size.  The odometry prior is implemented
+        # on the CG path only.
         import jax
         small = K * L <= _DENSE_W_LIMIT and K <= _DENSE_CAM_LIMIT
-        method = "dense" if (small and jax.default_backend() == "cpu") \
-            else "cg"
+        method = "dense" if (small and jax.default_backend() == "cpu"
+                             and _prior_c is None) else "cg"
 
     cam_free = np.ones(K, bool)
     cam_free[0] = False                      # gauge: world = KF0 camera
@@ -280,6 +301,9 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
         p = pack_line_major(obs, ocam, olin, K, L)
         line_free = np.ones(L, bool)
 
+        prior = (jnp.asarray(_prior_c, dtype)
+                 if _prior_c is not None else None)
+
         def solve_cg(cam_in, line_in, cfree, iters):
             return global_ba_cg(
                 jnp.asarray(cam_in, dtype), jnp.asarray(line_in, dtype),
@@ -290,7 +314,9 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                 jnp.asarray(cfg.camera.baseline, dtype),
                 jnp.asarray(cfg.huber_delta, dtype),
                 robust=cfg.robust, max_iters=iters,
-                line_param=cfg.line_param)
+                line_param=cfg.line_param, prior_c=prior,
+                prior_sigma_rot=cfg.refine_prior_sigma_rot,
+                prior_sigma_t=cfg.refine_prior_sigma_t)
 
         _, line_st, _ = solve_cg(cam_wt, line_orth,
                                  np.zeros(K, bool), max_iters)

@@ -810,8 +810,8 @@ class Slam:
             T = st.kfs[n2].T.rel_to(st.kfs[n1].T)
             C = st.edges[(n1, n2)].C
             d = T.rel_to(C)
-            if (rotation_angle(d.R) > self.cfg.kf_rot_thr
-                    or np.linalg.norm(d.t) > self.cfg.kf_tr_thr):
+            if (rotation_angle(d.R) > self.cfg.pgo_consistency_rot_thr
+                    or np.linalg.norm(d.t) > self.cfg.pgo_consistency_tr_thr):
                 return True
         return False
 

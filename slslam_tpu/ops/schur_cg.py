@@ -167,8 +167,9 @@ def _eval_system_lm(cam_wt, line_orth, obs, obs_cam, w_valid, cam_perm,
 # Matrix-free Schur solve (PCG with SCHUR_JACOBI preconditioner)
 # ---------------------------------------------------------------------------
 
-def _solve_step_cg(Hcc, Hll, gc, gl, Wb, obs_cam, cam_perm, cam_perm_valid,
-                   lam, cam_free_f, line_free_f, cg_iters, eta):
+def _solve_step_cg(Hcc, Hll, gc, gl, Wb, Hoff, obs_cam, cam_perm,
+                   cam_perm_valid, lam, cam_free_f, line_free_f, cg_iters,
+                   eta):
     C = Hcc.shape[0]
     L, kL = Wb.shape[:2]
     dtype = Hcc.dtype
@@ -189,8 +190,11 @@ def _solve_step_cg(Hcc, Hll, gc, gl, Wb, obs_cam, cam_perm, cam_perm_valid,
         """(L*kL, 6) -> (C, 6) via the camera buckets."""
         return jnp.sum(jnp.where(pv, flat6[cam_perm], 0.0), axis=1)
 
+    have_prior = Hoff.shape[0] > 0
+
     def matvec(x):
-        """S x with S = Hcc_d - W Binv W^T, fixed cameras -> identity."""
+        """S x with S = Hcc_d - W Binv W^T (+ the odometry-prior
+        tridiagonal coupling), fixed cameras -> identity."""
         xm = x * m
         y = jnp.einsum("lkab,lka->lkb", Wb, xm[obs_cam])   # (L,kL,4)
         z = jnp.sum(y, axis=1)                             # (L,4)
@@ -198,6 +202,9 @@ def _solve_step_cg(Hcc, Hll, gc, gl, Wb, obs_cam, cam_perm, cam_perm_valid,
         u = jnp.einsum("lkab,lb->lka", Wb, w)              # (L,kL,6)
         v = cam_sum(u.reshape(L * kL, 6))                  # (C,6)
         Sx = jnp.einsum("cab,cb->ca", Hcc_d, xm) - v
+        if have_prior:
+            Sx = Sx.at[:-1].add(jnp.einsum("eab,eb->ea", Hoff, xm[1:]))
+            Sx = Sx.at[1:].add(jnp.einsum("eba,eb->ea", Hoff, xm[:-1]))
         return Sx * m + x * (1.0 - m)
 
     # rhs = -gc + W Binv gl
@@ -267,13 +274,27 @@ def _solve_step_cg(Hcc, Hll, gc, gl, Wb, obs_cam, cam_perm, cam_perm_valid,
 def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
                       cam_perm_valid, cam_free, line_free, baseline,
                       huber_delta, robust=True, max_iters=25, cg_iters=100,
-                      eta=1e-2, line_param="orth"):
+                      eta=1e-2, line_param="orth", prior_c=None,
+                      prior_sigma_rot=0.02, prior_sigma_t=0.1):
     """LM bundle adjustment on the bucketed layout with matrix-free Schur.
 
     Args mirror ops.schur_ba.local_ba_impl with the bucketed observation
     layout from pack_line_major:
       obs (L, kL, 8), obs_cam (L, kL), obs_valid (L, kL),
       cam_perm (C, kC), cam_perm_valid (C, kC).
+
+    prior_c: optional (C-1, 6) odometry-chain constraints C_i (pose of
+    camera i+1 relative to camera i) fused as weighted pose-graph
+    residuals on consecutive cameras.  A global BA frees every pose
+    against line observations alone; trajectories with band-local
+    visibility (a survey ring, an outward-looking orbit) have weakly
+    observable low-frequency bending modes where the ML estimate wanders
+    (measured: the village-400 refine WORSENS ATE as cost decreases).
+    The odometry chain carries exactly that missing information — the
+    reference's sliding window preserves it implicitly by freezing old
+    edges (slam.cpp:1374-1416); fusing it as a weak prior (sigma per
+    edge: prior_sigma_rot rad / prior_sigma_t m) pins the null modes
+    without fighting the observations in well-constrained ones.
 
     Returns (cam', line', BAStats).
     """
@@ -283,12 +304,33 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
 
-    def evaluate(cw, lo):
-        return _eval_system_lm(cw, lo, obs, obs_cam, w_valid, cam_perm,
-                               cam_perm_valid, cam_free_f, line_free_f,
-                               baseline, huber_delta, robust, line_param)
+    if prior_c is not None:
+        from .pose_graph import _edge_rj_batch
+        pscale = jnp.concatenate([
+            jnp.full(3, 1.0 / prior_sigma_rot, dtype),
+            jnp.full(3, 1.0 / prior_sigma_t, dtype)])
 
-    cost0, Hcc, Hll, gc, gl, Wb = evaluate(cam_wt, line_orth)
+    def evaluate(cw, lo):
+        cost, Hcc, Hll, gc, gl, Wb = _eval_system_lm(
+            cw, lo, obs, obs_cam, w_valid, cam_perm, cam_perm_valid,
+            cam_free_f, line_free_f, baseline, huber_delta, robust,
+            line_param)
+        if prior_c is None:
+            Hoff = jnp.zeros((0, 6, 6), dtype)
+            return cost, Hcc, Hll, gc, gl, Wb, Hoff, None, None
+        r, J1, J2 = _edge_rj_batch(cw[:-1], cw[1:], prior_c)
+        r = r * pscale
+        J1 = J1 * pscale[None, :, None] * cam_free_f[:-1, None, None]
+        J2 = J2 * pscale[None, :, None] * cam_free_f[1:, None, None]
+        cost = cost + 0.5 * jnp.sum(r * r)
+        gc = gc.at[:-1].add(jnp.einsum("eki,ek->ei", J1, r))
+        gc = gc.at[1:].add(jnp.einsum("eki,ek->ei", J2, r))
+        Hcc = Hcc.at[:-1].add(jnp.einsum("eki,ekj->eij", J1, J1))
+        Hcc = Hcc.at[1:].add(jnp.einsum("eki,ekj->eij", J2, J2))
+        Hoff = jnp.einsum("eki,ekj->eij", J1, J2)      # couples (i, i+1)
+        return cost, Hcc, Hll, gc, gl, Wb, Hoff, J1, J2
+
+    cost0, Hcc, Hll, gc, gl, Wb, Hoff, _, _ = evaluate(cam_wt, line_orth)
 
     class _S(NamedTuple):
         cam: jnp.ndarray
@@ -299,12 +341,13 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
         gc: jnp.ndarray
         gl: jnp.ndarray
         Wb: jnp.ndarray
+        Hoff: jnp.ndarray
         radius: jnp.ndarray
         decrease_factor: jnp.ndarray
         it: jnp.ndarray
         done: jnp.ndarray
 
-    state = _S(cam_wt, line_orth, cost0, Hcc, Hll, gc, gl, Wb,
+    state = _S(cam_wt, line_orth, cost0, Hcc, Hll, gc, gl, Wb, Hoff,
                jnp.asarray(_INIT_RADIUS, dtype), jnp.asarray(2.0, dtype),
                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
@@ -314,13 +357,13 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
     def body(s):
         lam = 1.0 / s.radius
         dc, dl, damp_quad, g_dot_d, _ = _solve_step_cg(
-            s.Hcc, s.Hll, s.gc, s.gl, s.Wb, obs_cam, cam_perm,
+            s.Hcc, s.Hll, s.gc, s.gl, s.Wb, s.Hoff, obs_cam, cam_perm,
             cam_perm_valid, lam, cam_free_f, line_free_f, cg_iters, eta)
 
         cam_new = s.cam + dc
         line_new = s.line + dl
-        cost_new, Hcc_n, Hll_n, gc_n, gl_n, Wb_n = evaluate(cam_new,
-                                                            line_new)
+        (cost_new, Hcc_n, Hll_n, gc_n, gl_n, Wb_n, Hoff_n, _,
+         _) = evaluate(cam_new, line_new)
 
         model_change = 0.5 * (damp_quad - g_dot_d)
         rho = (s.cost - cost_new) / jnp.maximum(model_change, 1e-300)
@@ -350,6 +393,7 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
                   jnp.where(accept, gc_n, s.gc),
                   jnp.where(accept, gl_n, s.gl),
                   jnp.where(accept, Wb_n, s.Wb),
+                  jnp.where(accept, Hoff_n, s.Hoff),
                   radius, dec, s.it + 1, converged)
 
     out = jax.lax.while_loop(cond, body, state)
@@ -358,4 +402,5 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
 
 global_ba_cg = jax.jit(global_ba_cg_impl,
                        static_argnames=("robust", "max_iters", "cg_iters",
-                                        "eta", "line_param"))
+                                        "eta", "line_param",
+                                        "prior_sigma_rot", "prior_sigma_t"))

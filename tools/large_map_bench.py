@@ -105,7 +105,12 @@ def make_survey_problem(C=2048, lines_per_anchor=8, band_m=10.0,
 
     def endpoints(n, s_mid, s_len):
         d2 = np.sqrt(n[:, 0] ** 2 + n[:, 1] ** 2)
-        ok = d2 > 1e-3
+        # RELATIVE degeneracy cut: n scales with the line's camera-frame
+        # distance, so an absolute d2 floor admits rows whose residual
+        # normalization amplifies f32 rounding ~1e4x (measured as a 165x
+        # inflated cost-at-GT on the 2048-camera f32 run)
+        nrm = np.linalg.norm(n, axis=1)
+        ok = d2 > np.maximum(1e-3, 2e-2 * nrm)
         n = n / np.maximum(d2, 1e-12)[:, None]
         p0 = -n[:, 2:3] * n[:, :2]                            # foot point
         dir2 = np.stack([-n[:, 1], n[:, 0]], axis=1)
