@@ -198,6 +198,12 @@ def main(argv=None):
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_enable_x64", True)
+    # full-f32 MXU passes: the default TPU matmul precision truncates
+    # einsum operands to bf16, whose 8-bit mantissa turns ~250 m world
+    # coordinates into ~1 m rounding — measured as a 165x inflated
+    # cost-at-GT on the 2048-camera run (engines set this via
+    # SlamConfig.matmul_precision; this tool drives the kernels directly)
+    jax.config.update("jax_default_matmul_precision", "highest")
     import jax.numpy as jnp
 
     from slslam_tpu import geometry as geo
