@@ -78,10 +78,12 @@ class SlamConfig:
     # global-refine odometry-chain prior (ops/schur_cg.py prior_c): sigma
     # per consecutive-keyframe edge.  Deliberately WEAK: a null mode (no
     # observation information) is pinned by any prior weight at all, while
-    # observable corrections — e.g. the 0.03 m/edge frozen-triangulation
-    # errors the every-frame-keyframe replay needs fixed — must not be
-    # blocked; measured: sigma_t=0.1 froze that workload at its odometry
-    # ATE, sigma_t>=2 releases it while the village ring stays pinned
+    # observable corrections must not be blocked (sigma_t=0.1 froze the
+    # every-frame-keyframe replay at its odometry ATE).  Even this weak
+    # sigma costs accuracy on fully-observable maps (house-400: 0.0015 m
+    # pure ML vs 0.046 m with prior), which is why global_refine's "auto"
+    # mode enables the prior only for band-visibility maps
+    # (engine/refine.py detect_band_visibility).
     refine_prior_sigma_rot: float = 0.2
     refine_prior_sigma_t: float = 2.0
     line_vn_angle_thr: float = 3.0 * math.pi / 180.0

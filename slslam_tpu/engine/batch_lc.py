@@ -56,7 +56,8 @@ class LoopEvent:
     n_matches: int            # descriptor matches offered
     ransac_score: int         # RANSAC inliers of the relative-pose solve
     wt_rel: Optional[np.ndarray]   # (6,) T_new * T_old^-1, None if rejected
-    accepted: bool
+    accepted: bool            # True only for edges actually fed to PGO
+    deduped: bool = False     # True: span-mate of an edge, never solved
 
 
 @dataclasses.dataclass
@@ -190,6 +191,11 @@ def _pose_graph_stitch(res: BatchResult, loop_edges, cfg: SlamConfig,
     free = np.zeros(Vb, bool)
     free[1:K] = True                       # gauge-fix pose 0
 
+    # huber_delta=0.25 is a DOCUMENTED deviation (PARITY.md): the
+    # reference's PGO robust loss is effectively off (po_problem.h:136
+    # `robustify` is never assigned) and the interactive engine matches
+    # that; the deferred path feeds all loop edges at once, so one bad
+    # edge must be soft-gated (0.25 ~ the 15 deg keyframe gate in rad).
     out, stats = pose_graph_opt(
         jnp.asarray(pv, dtype), jnp.asarray(ei), jnp.asarray(ej),
         jnp.asarray(ec, dtype), jnp.asarray(ev), jnp.asarray(free),
@@ -199,8 +205,7 @@ def _pose_graph_stitch(res: BatchResult, loop_edges, cfg: SlamConfig,
     return traj, stats
 
 
-def _merge_fids(events: Sequence[LoopEvent],
-                matches: Sequence[Dict[int, int]]) -> Dict[int, int]:
+def _merge_fids(match_dicts: Sequence[Dict[int, int]]) -> Dict[int, int]:
     """Union-find over loop matches: current fid -> oldest root fid
     (the reference's landmark merge + match_lookup remap,
     slam.cpp:1162-1208, as id unification)."""
@@ -212,14 +217,56 @@ def _merge_fids(events: Sequence[LoopEvent],
             x = parent[x]
         return x
 
-    for ev, match in zip(events, matches):
-        if not ev.accepted:
-            continue
+    for match in match_dicts:
         for nf, of in match.items():
             rn, ro = find(nf), find(of)
             if rn != ro:
                 parent[max(rn, ro)] = min(rn, ro)
     return {x: find(x) for x in list(parent)}
+
+
+def _span_candidates(cands: Sequence[Tuple[int, int, Dict[int, int]]],
+                     window: int, gap: int = 2):
+    """Group raw detections into revisit spans BEFORE any device work.
+
+    A revisit pass fires the recognizer on every keyframe; the resulting
+    detections are correlated (same scene, same old keyframes), so they
+    are deduplicated to one geometric edge per span.  Grouping requires
+    BOTH sides to be contiguous — new keyframes within ``gap`` of each
+    other AND old keyframes within ``gap`` + the new-side step (two
+    genuinely distinct closures that fire close together stay separate) —
+    and a long run is split into ``window``-keyframe spans so an extended
+    overlap contributes one constraint per window span, keeping PGO
+    leverage inside the revisited stretch (r2 kept a single edge for the
+    whole run).
+    """
+    spans = []
+    cur: List[Tuple[int, int, Dict[int, int]]] = []
+    for c in cands:
+        if cur:
+            dnew = c[0] - cur[-1][0]
+            dold = abs(c[1] - cur[-1][1])
+            if dnew <= gap and dold <= gap + dnew:
+                cur.append(c)
+                continue
+        if cur:
+            spans.append(cur)
+        cur = [c]
+    if cur:
+        spans.append(cur)
+    out = []
+    for run in spans:
+        base = run[0][0]
+        chunk: List[Tuple[int, int, Dict[int, int]]] = []
+        for c in run:
+            if c[0] - base >= window and chunk:
+                out.append(chunk)
+                chunk = []
+                base = c[0]
+            chunk.append(c)
+        if chunk:
+            out.append(chunk)
+    return out
 
 
 class BatchSlamLC:
@@ -261,8 +308,10 @@ class BatchSlamLC:
 
         kf_idx = np.flatnonzero(np.asarray(res.is_kf, bool))
         events: List[LoopEvent] = []
-        matches: List[Dict[int, int]] = []
+        merge_matches: List[Dict[int, int]] = []
         loop_edges = []
+        n_candidates = 0
+        n_spans = 0
         t1 = time.perf_counter()
         if self.recognizer is not None and self.descriptor_source is not None:
             base_key = jax.random.PRNGKey(cfg.rseed ^ 0x10C)
@@ -279,46 +328,44 @@ class BatchSlamLC:
                     k, fids_list[k],
                     self.descriptor_source(int(f), fids_list[k]))
                     for k, f in enumerate(kf_idx)]
-            for k, hit in enumerate(hits):
-                if hit is None:
-                    continue
-                f = kf_idx[k]
-                old_k, match = hit
-                key = jax.random.fold_in(base_key, int(f))
-                wt, score, n = _loop_relative_pose(
-                    frames[kf_idx[old_k]], frames[f], match, cfg,
-                    self.dtype, key)
-                ev = LoopEvent(old_k, k, n, score, wt, wt is not None)
-                events.append(ev)
-                matches.append(match)
-                if ev.accepted:
-                    loop_edges.append((old_k, k, wt))
-        t_recog = time.perf_counter() - t1
 
-        # dedup correlated loop edges: a revisit pass fires the recognizer
-        # on EVERY keyframe (the reference closes the loop each time too,
-        # but online PGO re-consolidates incrementally); in deferred mode
-        # 30 edges between the same two path sections share the same old
-        # keyframes and the same scene, so their errors are correlated —
-        # together they act as one over-weighted biased constraint that
-        # can drag an accurate odometry chain.  Keep the highest-scoring
-        # edge per contiguous revisit run.
-        if loop_edges:
-            runs = []
-            ev_by_new = {e.new_kf: e for e in events if e.accepted}
-            keys = sorted(ev_by_new)
-            group = [keys[0]]
-            for k in keys[1:]:
-                if k - group[-1] <= 2:
-                    group.append(k)
-                else:
-                    runs.append(group)
-                    group = [k]
-            runs.append(group)
-            keep_new = {max(g, key=lambda k: ev_by_new[k].ransac_score)
-                        for g in runs}
-            loop_edges = [(o, n, wt) for (o, n, wt) in loop_edges
-                          if n in keep_new]
+            # correlated detections dedup to one edge per revisit span
+            # BEFORE the relative-pose solves (r2 solved every candidate
+            # — 2-3 device dispatches each — then discarded most): the
+            # span representative with the most descriptor matches is
+            # solved first, falling back to the next-best on rejection.
+            cands = [(k, hit[0], hit[1]) for k, hit in enumerate(hits)
+                     if hit is not None]
+            n_candidates = len(cands)
+            spans = _span_candidates(cands, cfg.ba_window_size)
+            n_spans = len(spans)
+            for span in spans:
+                ordered = sorted(span, key=lambda c: -len(c[2]))
+                solved_new = set()
+                edge = None
+                for (k, old_k, match) in ordered[:3]:
+                    key = jax.random.fold_in(base_key, int(kf_idx[k]))
+                    wt, score, n = _loop_relative_pose(
+                        frames[kf_idx[old_k]], frames[kf_idx[k]], match,
+                        cfg, self.dtype, key)
+                    accepted = wt is not None
+                    events.append(LoopEvent(old_k, k, n, score, wt,
+                                            accepted))
+                    solved_new.add(k)
+                    if accepted:
+                        edge = (old_k, k, wt)
+                        break
+                for (k, old_k, match) in span:
+                    if k not in solved_new:
+                        events.append(LoopEvent(old_k, k, len(match), 0,
+                                                None, False, deduped=True))
+                if edge is not None:
+                    loop_edges.append(edge)
+                    # the span's geometry is verified by its edge; every
+                    # candidate's mutual-NN descriptor matches (already
+                    # similarity-gated) feed the track merge
+                    merge_matches.extend(m for (_, _, m) in span)
+        t_recog = time.perf_counter() - t1
 
         t2 = time.perf_counter()
         if loop_edges:
@@ -328,7 +375,7 @@ class BatchSlamLC:
             traj, pgo_stats = list(res.trajectory), None
         t_pgo = time.perf_counter() - t2
 
-        merged = _merge_fids(events, matches)
+        merged = _merge_fids(merge_matches)
 
         refined = None
         t_refine = 0.0
@@ -347,7 +394,8 @@ class BatchSlamLC:
 
         stats = dict(res.stats)
         stats.update({
-            "num_loop_candidates": len(events),
+            "num_loop_candidates": n_candidates,
+            "num_loop_spans": n_spans,
             "num_loop_closures": len(loop_edges),
             "num_merged_tracks": len(merged),
             "pgo_iterations": (int(pgo_stats.iterations)

@@ -51,20 +51,27 @@ class RefineResult:
     num_obs: int
 
 
-def build_global_problem(frames: List[Dict[int, np.ndarray]],
-                         is_kf: np.ndarray,
-                         trajectory: List[Pose],
-                         cfg: SlamConfig,
-                         min_obs: int = 2):
-    """Pack every keyframe observation into one flat BA problem.
+@dataclasses.dataclass
+class GlobalProblemStructure:
+    """Trajectory-independent part of the global BA problem: which
+    features qualify, their first/last observations, and the flat
+    observation index arrays.  Built once and reused across refine rounds
+    (rebuilding it per round cost ~0.3 s/seed of pure host work in r2)."""
 
-    frames: normalized per-frame observations {feature_id: (8,)}.
-    is_kf: (F,) which frames became keyframes (BatchResult.is_kf).
-    trajectory: estimated camera-to-world pose per keyframe (the init).
-    """
+    feat_ids: List[int]
+    first_obs: np.ndarray   # (L, 8)
+    last_obs: np.ndarray    # (L, 8)
+    first_kf: np.ndarray    # (L,)
+    last_kf: np.ndarray     # (L,)
+    obs: np.ndarray         # (O, 8)
+    ocam: np.ndarray        # (O,) int32
+    olin: np.ndarray        # (O,) int32
+
+
+def build_problem_structure(frames: List[Dict[int, np.ndarray]],
+                            is_kf: np.ndarray,
+                            min_obs: int = 2) -> GlobalProblemStructure:
     kf_frames = np.flatnonzero(np.asarray(is_kf, bool))
-    K = len(kf_frames)
-    assert K == len(trajectory), (K, len(trajectory))
 
     # feature -> observing keyframe indices
     seen: Dict[int, List[int]] = {}
@@ -75,20 +82,6 @@ def build_global_problem(frames: List[Dict[int, np.ndarray]],
     fidx = {fid: i for i, fid in enumerate(feat_ids)}
     L = len(feat_ids)
 
-    cam_wt = np.stack([T.inv().wt() for T in trajectory])  # world->cam
-
-    # line init, two candidates per line:
-    # (a) stereo triangulation at the first observing keyframe
-    #     (slam.cpp:161-219 semantics, anchored to the global frame).
-    #     The stereo baseline is 0.12 m; at 10+ m depth the init error is
-    #     meters, and a minority of lines start outside their basin
-    #     (measured on the village world: 134/765 lines stuck > 3 px
-    #     after a lines-only solve from this init alone);
-    # (b) wide-baseline two-view: intersect the back-projected
-    #     interpretation planes of the first and last observing keyframes
-    #     — the keyframe baseline is usually orders of magnitude wider.
-    # Pick per line whichever candidate fits that line's observations
-    # best.  Degenerate (b) rows (near-parallel planes) fall back to (a).
     first_obs = np.zeros((L, 8))
     last_obs = np.zeros((L, 8))
     first_kf = np.zeros(L, np.int64)
@@ -98,19 +91,6 @@ def build_global_problem(frames: List[Dict[int, np.ndarray]],
         first_kf[i], last_kf[i] = k0, k1
         first_obs[i] = frames[kf_frames[k0]][fid]
         last_obs[i] = frames[kf_frames[k1]][fid]
-    lines_cam = np.asarray(triangulate_lines(
-        jnp.asarray(first_obs), cfg.camera.baseline,
-        inverse_depth=cfg.inverse_depth), np.float64)
-    lines_w = np.empty_like(lines_cam)
-    R_cw = np.stack([T.R for T in trajectory])
-    t_cw = np.stack([T.t for T in trajectory])
-    lines_w[:, :3] = np.einsum("lij,lj->li", R_cw[first_kf],
-                               lines_cam[:, :3]) + t_cw[first_kf]
-    lines_w[:, 3:] = np.einsum("lij,lj->li", R_cw[first_kf],
-                               lines_cam[:, 3:])
-
-    lines_wide = _two_view_lines(first_obs, last_obs, first_kf, last_kf,
-                                 R_cw, t_cw, lines_w)
 
     rows, ocam, olin = [], [], []
     for k, f in enumerate(kf_frames):
@@ -123,11 +103,62 @@ def build_global_problem(frames: List[Dict[int, np.ndarray]],
     obs = np.asarray(rows, np.float64).reshape(-1, 8)
     ocam = np.asarray(ocam, np.int32)
     olin = np.asarray(olin, np.int32)
+    return GlobalProblemStructure(feat_ids, first_obs, last_obs, first_kf,
+                                  last_kf, obs, ocam, olin)
 
-    lines_w = _pick_better_lines(lines_w, lines_wide, cam_wt, obs, ocam,
-                                 olin, cfg)
-    line_orth = av_to_orth_np(lines_w)
-    return (cam_wt, line_orth, obs, ocam, olin, feat_ids)
+
+def init_problem_values(s: GlobalProblemStructure,
+                        trajectory: List[Pose], cfg: SlamConfig):
+    """Initial (cam_wt, line_orth) for the given trajectory estimate.
+
+    Line init, two candidates per line:
+    (a) stereo triangulation at the first observing keyframe
+        (slam.cpp:161-219 semantics, anchored to the global frame).
+        The stereo baseline is 0.12 m; at 10+ m depth the init error is
+        meters, and a minority of lines start outside their basin
+        (measured on the village world: 134/765 lines stuck > 3 px
+        after a lines-only solve from this init alone);
+    (b) wide-baseline two-view: intersect the back-projected
+        interpretation planes of the first and last observing keyframes
+        — the keyframe baseline is usually orders of magnitude wider.
+    Pick per line whichever candidate fits that line's observations
+    best.  Degenerate (b) rows (near-parallel planes) fall back to (a).
+    """
+    cam_wt = np.stack([T.inv().wt() for T in trajectory])  # world->cam
+    lines_cam = np.asarray(triangulate_lines(
+        jnp.asarray(s.first_obs), cfg.camera.baseline,
+        inverse_depth=cfg.inverse_depth), np.float64)
+    lines_w = np.empty_like(lines_cam)
+    R_cw = np.stack([T.R for T in trajectory])
+    t_cw = np.stack([T.t for T in trajectory])
+    lines_w[:, :3] = np.einsum("lij,lj->li", R_cw[s.first_kf],
+                               lines_cam[:, :3]) + t_cw[s.first_kf]
+    lines_w[:, 3:] = np.einsum("lij,lj->li", R_cw[s.first_kf],
+                               lines_cam[:, 3:])
+
+    lines_wide = _two_view_lines(s.first_obs, s.last_obs, s.first_kf,
+                                 s.last_kf, R_cw, t_cw, lines_w)
+    lines_w = _pick_better_lines(lines_w, lines_wide, cam_wt, s.obs,
+                                 s.ocam, s.olin, cfg)
+    return cam_wt, av_to_orth_np(lines_w)
+
+
+def build_global_problem(frames: List[Dict[int, np.ndarray]],
+                         is_kf: np.ndarray,
+                         trajectory: List[Pose],
+                         cfg: SlamConfig,
+                         min_obs: int = 2):
+    """Pack every keyframe observation into one flat BA problem.
+
+    frames: normalized per-frame observations {feature_id: (8,)}.
+    is_kf: (F,) which frames became keyframes (BatchResult.is_kf).
+    trajectory: estimated camera-to-world pose per keyframe (the init).
+    """
+    K = int(np.sum(np.asarray(is_kf, bool)))
+    assert K == len(trajectory), (K, len(trajectory))
+    s = build_problem_structure(frames, is_kf, min_obs=min_obs)
+    cam_wt, line_orth = init_problem_values(s, trajectory, cfg)
+    return (cam_wt, line_orth, s.obs, s.ocam, s.olin, s.feat_ids)
 
 
 def _two_view_lines(first_obs, last_obs, first_kf, last_kf, R_cw, t_cw,
@@ -188,25 +219,28 @@ def _two_view_lines(first_obs, last_obs, first_kf, last_kf, R_cw, t_cw,
 
 def _pick_better_lines(lines_a, lines_b, cam_wt, obs, ocam, olin, cfg):
     """Per line, keep whichever candidate has lower total |residual| over
-    that line's observations (evaluated once, vectorized)."""
-    from ..ops.residuals import lba_residual_jac_batch
+    that line's observations.
+
+    One jitted dispatch scores both candidates stacked (2O rows) —
+    residual-only (lba_residual_batch); the eager jacfwd variant here cost
+    ~2.3 s of host tracing per call (the r2 refine throughput regression).
+    """
+    from ..ops.residuals import lba_residual_batch
 
     L = len(lines_a)
     if L == 0 or len(obs) == 0:
         return lines_a
-    cw = jnp.asarray(cam_wt)[ocam]
-    costs = []
-    for lines in (lines_a, lines_b):
-        orth = av_to_orth_np(lines)
-        r, _, _ = lba_residual_jac_batch(cw, jnp.asarray(orth)[olin],
-                                         jnp.asarray(obs),
-                                         cfg.camera.baseline)
-        e = np.abs(np.asarray(r)).sum(axis=1)
-        e = np.where(np.isfinite(e), e, 1e6)
-        tot = np.zeros(L)
-        np.add.at(tot, olin, e)
-        costs.append(tot)
-    take_b = costs[1] < costs[0]
+    orth2 = np.concatenate([av_to_orth_np(lines_a), av_to_orth_np(lines_b)])
+    olin2 = np.concatenate([olin, L + olin])
+    cw2 = np.concatenate([cam_wt[ocam], cam_wt[ocam]])
+    obs2 = np.concatenate([obs, obs])
+    r = lba_residual_batch(jnp.asarray(cw2), jnp.asarray(orth2)[olin2],
+                           jnp.asarray(obs2), cfg.camera.baseline)
+    e = np.abs(np.asarray(r)).sum(axis=1)
+    e = np.where(np.isfinite(e), e, 1e6)
+    tot = np.zeros(2 * L)
+    np.add.at(tot, olin2, e)
+    take_b = tot[L:] < tot[:L]
     out = lines_a.copy()
     out[take_b] = lines_b[take_b]
     return out
@@ -215,6 +249,41 @@ def _pick_better_lines(lines_a, lines_b, cam_wt, obs, ocam, olin, cfg):
 _DENSE_W_LIMIT = 400_000   # C*L above this -> matrix-free CG Schur solver
 _DENSE_CAM_LIMIT = 128     # cameras above this -> CG (the dense reduced
                            # system is (6C)^2 and its Cholesky is (6C)^3)
+
+_BAND_SPAN_FRAC = 0.5      # a track is "long-range" if it spans >= half
+_BAND_LONG_FRAC = 0.05     # the keyframes; < 5% long tracks = band map
+
+
+def detect_band_visibility(frames, is_kf) -> Tuple[bool, float]:
+    """Decide whether the map's visibility graph is band-diagonal.
+
+    A global BA frees every pose against line observations alone; maps
+    whose tracks only ever link nearby keyframes (a survey ring, an
+    outward-looking orbit) have weakly observable low-frequency bending
+    modes that the pure-ML solve can wander in, while maps with
+    long-range tracks (a room seen throughout, loop-merged tracks) pin
+    those modes themselves.  Measured (tools → /tmp/prior_exp r3): the
+    odometry prior costs 30x accuracy on the fully-observable house
+    replay (0.0015 → 0.046 m) and buys 2.4x on the band-visibility
+    village ring (0.0248 → 0.0105 m) — so the prior must follow the
+    structure.  Returns (is_band, fraction_of_long_tracks).
+    """
+    kf_frames = np.flatnonzero(np.asarray(is_kf, bool))
+    K = len(kf_frames)
+    if K < 3:
+        return False, 1.0
+    first: Dict[int, int] = {}
+    last: Dict[int, int] = {}
+    for k, f in enumerate(kf_frames):
+        for fid in frames[f]:
+            first.setdefault(fid, k)
+            last[fid] = k
+    spans = np.asarray([last[f] - first[f] for f in first
+                        if last[f] > first[f]])
+    if len(spans) == 0:
+        return False, 1.0
+    frac_long = float(np.mean(spans >= _BAND_SPAN_FRAC * (K - 1)))
+    return frac_long < _BAND_LONG_FRAC, frac_long
 
 
 def global_refine(frames: List[Dict[int, np.ndarray]],
@@ -225,7 +294,7 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                   min_obs: int = 2,
                   rounds: int = 2,
                   method: str = "auto",
-                  odometry_prior: bool = False,
+                  odometry_prior="auto",
                   _prior_c: Optional[np.ndarray] = None) -> RefineResult:
     """Globally bundle-adjust a replayed sequence.
 
@@ -245,13 +314,15 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
     # the measurement), not from intermediate rounds' estimates.  It pins
     # the global BA's weakly observable bending modes (band-local
     # visibility: survey rings, outward-looking orbits) that the
-    # pure-observation ML estimate wanders in.  OFF by default: the prior
-    # necessarily also resists observable corrections (measured on the
-    # every-frame-keyframe house replay: ATE 0.0015 without prior, 0.046
-    # with the weak sigma, 0.42 with a strong one), so use it for
-    # odometry-grade maps whose loops are NOT closed; once loop closure
-    # merges revisit tracks, the merged observations rigidify the weak
-    # modes and the unconstrained ML solve is the better estimator.
+    # pure-observation ML estimate wanders in — but it also resists
+    # observable corrections (measured on the every-frame-keyframe house
+    # replay: ATE 0.0015 without prior, 0.046 with the weak sigma, 0.42
+    # with a strong one), so the "auto" default keys it off the map's
+    # visibility structure (detect_band_visibility): band-local maps get
+    # the prior, maps with long-range tracks — including loop-merged
+    # revisits, which rigidify the weak modes — run the pure ML solve.
+    if odometry_prior == "auto":
+        odometry_prior, _ = detect_band_visibility(frames, is_kf)
     if odometry_prior and _prior_c is None and len(trajectory) > 1:
         _prior_c = np.stack([
             (trajectory[i + 1].inv() @ trajectory[i]).wt()
@@ -276,6 +347,13 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
             feature_ids=[], initial_cost=0.0, final_cost=0.0, iterations=0,
             num_cams=K, num_lines=0, num_obs=0)
 
+    if _prior_c is not None and method == "dense":
+        # the prior is implemented on the CG path only — never drop it
+        # silently (ADVICE r2)
+        import warnings
+        warnings.warn("global_refine: odometry_prior requires the CG "
+                      "solver; overriding method='dense' -> 'cg'")
+        method = "cg"
     if method == "auto":
         # dense is fastest only for small problems on CPU; on accelerators
         # its scatter/one-hot assembly loses to the CG path's bucketed

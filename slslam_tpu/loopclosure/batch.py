@@ -68,7 +68,16 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
                        ) -> np.ndarray:
     """Run the full recognition timeline; returns (K,) hit doc per step
     (-1 = no loop-closure candidate), identical to feeding the online
-    VocTree query/update_posterior/is_loop_closing/insert_doc cycle."""
+    VocTree query/update_posterior/is_loop_closing/insert_doc cycle.
+
+    Layout: each keyframe's bag-of-words is SPARSE — (K, Q) padded unique
+    leaf ids + tf weights, Q = the max unique-leaf count of any keyframe
+    (r2 built dense (K, U) tables over the observed-leaf universe; at city
+    scale U approaches the vocabulary's leaf count and per-step scoring
+    cost O(K*U) — the sparse form is O(K*Q^2) with Q ~ features/frame,
+    independent of vocabulary size, and bounds table memory by K*Q).
+    Only the leaf-population vector for idf stays dense over U.
+    """
     p = tree.params
     K = len(kf_descs)
     if K == 0:
@@ -76,24 +85,30 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
 
     leaves = _quantize_all(tree, kf_descs)
 
-    # compact universe of observed leaves
+    # compact universe of observed leaves (population counts / top-A only)
     all_leaves = np.concatenate([l for l in leaves]) if any(
         len(l) for l in leaves) else np.zeros(0, np.int32)
     uni = np.unique(all_leaves)
     U = max(len(uni), 1)
     remap = {int(v): i for i, v in enumerate(uni)}
 
-    Nq = np.zeros((K, U), np.float32)       # query term frequency n
-    Wd = np.zeros((K, U), np.float32)       # doc weights (count / featcnt)
+    rows = []
     featcnt = np.zeros(K, np.int32)
     for k, l in enumerate(leaves):
         featcnt[k] = len(l)
         if len(l) == 0:
+            rows.append((np.zeros(0, np.int64), np.zeros(0, np.float32)))
             continue
         u, c = np.unique(l, return_counts=True)
-        cols = np.array([remap[int(x)] for x in u])
-        Nq[k, cols] = c / float(len(l))
-        Wd[k, cols] = c / float(len(l))
+        cols = np.array([remap[int(x)] for x in u], np.int64)
+        rows.append((cols, (c / float(len(l))).astype(np.float32)))
+    Q = _bucket(max((len(r[0]) for r in rows), default=1) or 1,
+                buckets=(8, 16, 32, 64, 128, 256, 512, 1024))
+    bw_id = np.full((K, Q), -1, np.int32)    # compact leaf id, -1 = pad
+    bw_w = np.zeros((K, Q), np.float32)      # tf weight (count / featcnt)
+    for k, (cols, w) in enumerate(rows):
+        bw_id[k, :len(cols)] = cols
+        bw_w[k, :len(cols)] = w
 
     ncr = p.non_consider_recent
     A = p.num_avg_words
@@ -103,40 +118,48 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
     gauss = jnp.asarray(1.0 / math.sqrt(2 * math.pi * s * s)
                         * np.exp(-(d * d) / (2 * s * s)), jnp.float32)
 
-    NqJ = jnp.asarray(Nq)
-    WdJ = jnp.asarray(Wd)
+    IdJ = jnp.asarray(bw_id)
+    WJ = jnp.asarray(bw_w)
     fcJ = jnp.asarray(featcnt)
-    EJ = jnp.asarray((Wd > 0).astype(np.float32))
     karr = jnp.arange(K, dtype=jnp.int32)
 
     def step(carry, k):
         pop, post = carry                     # (U,) f32, (K+1,) f32
         doc_size = jnp.maximum(k - ncr, 0)
-        nq = NqJ[k]                           # (U,)
-        q_has = nq > 0
+        qid = IdJ[k]                          # (Q,) compact ids, -1 pad
+        nq = WJ[k]                            # (Q,)
+        q_has = qid >= 0
 
         # --- virtual average document over the top-A populated leaves ---
         n_pop = jnp.sum((pop > 0).astype(jnp.int32))
         have_avg = n_pop > A
         topv, topi = jax.lax.top_k(pop, A)
-        in_avg = jnp.zeros(U, bool).at[topi].set(topv > 0)
+        in_avg_u = jnp.zeros(U, bool).at[topi].set(topv > 0)
+        in_avg = jnp.logical_and(in_avg_u[jnp.maximum(qid, 0)], q_has)
         in_avg = jnp.logical_and(in_avg, have_avg)
 
         # --- idf over the query's leaves (avg doc counts as a member) ---
-        n_docs_leaf = pop + in_avg.astype(jnp.float32)
+        pop_q = jnp.where(q_has, pop[jnp.maximum(qid, 0)], 0.0)
+        n_docs_leaf = pop_q + in_avg.astype(jnp.float32)
         has_docs = jnp.logical_and(q_has, n_docs_leaf > 0)
         n_total = (doc_size + have_avg.astype(jnp.int32)).astype(jnp.float32)
         idf = jnp.log10(n_total / jnp.maximum(n_docs_leaf, 1.0))
         idf = jnp.where(has_docs, idf, 0.0)
-        n_idf = nq * idf                      # (U,)
+        n_idf = nq * idf                      # (Q,)
 
-        # --- score every inserted document: 2*idf*min(n, w) per leaf ---
+        # --- score every inserted document: 2*idf*min(n, w) per shared
+        # leaf, matched by id equality over the sparse rows (K, Q, Q) ---
         doc_valid = karr < doc_size           # (K,)
-        contrib = 2.0 * idf[None, :] * jnp.minimum(nq[None, :], WdJ)
-        touched_lu = jnp.logical_and(has_docs[None, :], WdJ > 0)   # (K,U)
-        scores = jnp.sum(jnp.where(touched_lu, contrib, 0.0), axis=1)
+        eq = jnp.logical_and(IdJ[:, :, None] == qid[None, None, :],
+                             qid[None, None, :] >= 0)          # (K,Q,Qq)
+        touched_pair = jnp.logical_and(eq, has_docs[None, None, :])
+        contrib = 2.0 * idf[None, None, :] * jnp.minimum(
+            nq[None, None, :], WJ[:, :, None])
+        scores = jnp.sum(jnp.where(touched_pair, contrib, 0.0),
+                         axis=(1, 2))
         scores = scores * doc_valid.astype(jnp.float32)
-        hit = jnp.logical_and(jnp.any(touched_lu, axis=1), doc_valid)
+        hit = jnp.logical_and(jnp.any(touched_pair, axis=(1, 2)),
+                              doc_valid)
 
         # --- the average document's own score ---
         m_a = (1.0 / A) * idf
@@ -210,10 +233,14 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
                             jnp.max(window) >= p.threshold))
         hit_doc = jnp.where(ok, cand, -1)
 
-        # --- end-of-step insertion of doc (k - ncr) ---
+        # --- end-of-step insertion of doc (k - ncr): scatter the doc's
+        # unique leaves into the population vector (pads id=-1 add 0) ---
         ins = k - ncr
-        do_ins = jnp.logical_and(ins >= 0, fcJ[jnp.maximum(ins, 0)] > 0)
-        pop = pop + jnp.where(do_ins, EJ[jnp.maximum(ins, 0)], 0.0)
+        ins_c = jnp.maximum(ins, 0)
+        do_ins = jnp.logical_and(ins >= 0, fcJ[ins_c] > 0)
+        iid = IdJ[ins_c]                      # (Q,)
+        inc = jnp.logical_and(iid >= 0, do_ins).astype(jnp.float32)
+        pop = pop.at[jnp.maximum(iid, 0)].add(inc)
 
         return (pop, new_post), hit_doc
 

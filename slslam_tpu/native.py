@@ -22,6 +22,50 @@ _lib = None
 _tried = False
 
 
+def _build() -> bool:
+    """Compile to a temp file and atomically rename into place.
+
+    A direct `g++ -o LIB_PATH` overwrites the file another process may be
+    mid-dlopen on (or mid-write from a concurrent rebuild), yielding
+    partially-written libraries; os.replace swaps a fully-built file in
+    one atomic step, and an exclusive lock file serializes concurrent
+    builders (ADVICE r2).
+    """
+    tmp = f"{_LIB_PATH}.build.{os.getpid()}"
+    lock = _LIB_PATH + ".lock"
+    fd = None
+    try:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # another process is building: wait for it rather than race
+            import time
+            for _ in range(150):
+                if not os.path.exists(lock):
+                    break
+                time.sleep(0.1)
+            return os.path.exists(_LIB_PATH)
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC_PATH],
+            check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
+        return True
+    except Exception:
+        return False
+    finally:
+        if os.path.exists(tmp):
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        if fd is not None:
+            os.close(fd)
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+
 def _load():
     global _lib, _tried
     if _lib is not None or _tried:
@@ -30,14 +74,9 @@ def _load():
     stale = (os.path.exists(_SRC_PATH)
              and (not os.path.exists(_LIB_PATH)
                   or os.path.getmtime(_SRC_PATH) > os.path.getmtime(_LIB_PATH)))
-    if stale:
-        try:
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH,
-                 _SRC_PATH], check=True, capture_output=True, timeout=120)
-        except Exception:
-            if not os.path.exists(_LIB_PATH):
-                return None
+    if stale and not _build():
+        if not os.path.exists(_LIB_PATH):
+            return None
     if not os.path.exists(_LIB_PATH):
         return None
     try:
@@ -50,11 +89,11 @@ def _load():
         lib.slslam_metric_embedding
         lib.slslam_lsd_detect
     except AttributeError:
-        # stale binary missing a symbol: force a rebuild once
+        # stale binary missing a symbol: force a rebuild once (atomic
+        # replace gives this process a fresh inode to dlopen)
         try:
-            subprocess.run(
-                ["g++", "-O2", "-shared", "-fPIC", "-o", _LIB_PATH,
-                 _SRC_PATH], check=True, capture_output=True, timeout=120)
+            if not _build():
+                return None
             lib = ctypes.CDLL(_LIB_PATH)
             lib.slslam_lsd_detect
         except Exception:

@@ -130,6 +130,19 @@ def lba_residual_jac_batch(cam_wt, line_param4, obs, baseline,
                            line_param="orth"):
     return _jac_batch_for(line_param)(cam_wt, line_param4, obs, baseline)
 
+
+# residual-only batch, jitted: callers that only score (e.g. the refine
+# line-init candidate pick) must not pay eager jacfwd tracing per call
+@functools.lru_cache(maxsize=None)
+def _res_batch_for(line_param):
+    fn = functools.partial(lba_residual, line_param=line_param)
+    return jax.jit(jax.vmap(fn, in_axes=(0, 0, 0, None)))
+
+
+def lba_residual_batch(cam_wt, line_param4, obs, baseline,
+                       line_param="orth"):
+    return _res_batch_for(line_param)(cam_wt, line_param4, obs, baseline)
+
 # scoring over (hypotheses H, observations N): R (H,3,3), t (H,3) vs
 # obs (N,8), lines (N,6) -> (H, N) errors
 score_error_hyp_obs = jax.vmap(

@@ -243,8 +243,13 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
       (cam_wt', line_orth', BAStats)
     """
     if assembly is None:
-        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
-                    else "scatter")
+        # measured on the chip (tools/tpu_probe.py assembly, r3): full
+        # local_ba warm wall at window scale (C=20,L=129,O=2560) —
+        # scatter 0.80 ms, onehot 1.03 ms, pallas 1.21 ms; at refine
+        # scale (C=128,L=512,O=16384) — scatter 0.16 ms, pallas 0.13 ms,
+        # onehot 0.64 ms.  Scatter wins or ties everywhere, so it is the
+        # default on every backend; onehot/pallas stay selectable.
+        assembly = "scatter"
     dtype = cam_wt.dtype
     ftol, ptol = _tolerances(dtype)
     cam_free_f = cam_free.astype(dtype)
@@ -402,8 +407,7 @@ def local_ba_sharded_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
     the solve — independent of the number of lines/observations.
     """
     if assembly is None:
-        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
-                    else "scatter")
+        assembly = "scatter"   # chip-measured winner (see local_ba_impl)
     dtype = cam_wt.dtype
     ftol, ptol = _tolerances(dtype)
     cam_free_f = cam_free.astype(dtype)

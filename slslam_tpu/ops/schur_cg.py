@@ -306,9 +306,11 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
 
     if prior_c is not None:
         from .pose_graph import _edge_rj_batch
+        # sigmas are traced (NOT static jit args): a sigma sweep
+        # (tools/param_study.py) must not retrace the kernel per value
         pscale = jnp.concatenate([
-            jnp.full(3, 1.0 / prior_sigma_rot, dtype),
-            jnp.full(3, 1.0 / prior_sigma_t, dtype)])
+            jnp.full(3, 1.0, dtype) / jnp.asarray(prior_sigma_rot, dtype),
+            jnp.full(3, 1.0, dtype) / jnp.asarray(prior_sigma_t, dtype)])
 
     def evaluate(cw, lo):
         cost, Hcc, Hll, gc, gl, Wb = _eval_system_lm(
@@ -402,5 +404,4 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
 
 global_ba_cg = jax.jit(global_ba_cg_impl,
                        static_argnames=("robust", "max_iters", "cg_iters",
-                                        "eta", "line_param",
-                                        "prior_sigma_rot", "prior_sigma_t"))
+                                        "eta", "line_param"))

@@ -7,7 +7,10 @@ exercised without TPU hardware; numeric tests use x64 for tight tolerances.
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+_REAL_DEVICE = os.environ.get("SLSLAM_TPU_TESTS") == "1"
+
+if not _REAL_DEVICE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -15,7 +18,8 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-# The environment's site customization force-registers a TPU plugin that
-# overrides JAX_PLATFORMS from the env; jax.config wins over it.
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if not _REAL_DEVICE:
+    # The environment's site customization force-registers a TPU plugin
+    # that overrides JAX_PLATFORMS from the env; jax.config wins over it.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)

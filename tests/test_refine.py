@@ -98,3 +98,46 @@ class TestGlobalRefine:
         assert ref.num_lines > 10
         assert ref.num_obs > ref.num_lines * 2
         assert np.isfinite(ref.lines_world).all()
+
+
+class TestRefineSafety:
+    """VERDICT r2 item 5: refine must be safe BY DEFAULT — the odometry
+    prior auto-enables on band-visibility maps (survey rings, orbits)
+    where the pure-ML global solve has weakly observable bending modes,
+    and stays off where long-range tracks pin those modes themselves."""
+
+    def test_band_detection_house_vs_village(self, replay, cfg):
+        from slslam_tpu.engine.refine import detect_band_visibility
+        frames, _, res = replay
+        band, frac = detect_band_visibility(frames, res.is_kf)
+        assert not band and frac > 0.5, (band, frac)  # house: long tracks
+
+        # synthetic band map: 40 kfs, every track spans 4 keyframes
+        K = 40
+        bframes = []
+        for kf in range(K):
+            fr = {}
+            for k in range(max(0, kf - 3), kf + 1):
+                for j in range(5):
+                    fr[100 * k + j] = np.zeros(8)
+            bframes.append(fr)
+        band, frac = detect_band_visibility(bframes, np.ones(K, bool))
+        assert band and frac < 0.05, (band, frac)
+
+    def test_village_band_refine_never_worsens(self, cfg):
+        """The r2 failure mode (BENCH.md: village refine worsened ATE
+        0.024 -> 0.11 as cost decreased) must not recur under defaults."""
+        from slslam_tpu.sim import village_segments, village_trajectory
+        segs = village_segments(n_houses=6, ring_radius=9.0)
+        poses = village_trajectory(num_frames=120, arc=1.6 * np.pi,
+                                   orbit_radius=3.8)
+        ren = StereoLineRenderer(segs, cfg.camera, noise_px=0.3, seed=1)
+        frames = [ren.observe(T) for T in poses]
+        res = BatchSlam(cfg).run(frames)
+        from slslam_tpu.engine.refine import detect_band_visibility
+        band, _ = detect_band_visibility(frames, res.is_kf)
+        assert band, "outward orbit must register as band visibility"
+        ate0 = _ate(res.trajectory, poses, res.is_kf)
+        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        ate1 = _ate(ref.trajectory, poses, res.is_kf)
+        assert ate1 <= ate0 * 1.05 + 1e-4, (ate0, ate1)
