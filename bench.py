@@ -68,6 +68,21 @@ def _ate(traj, poses_gt):
     return float(np.mean(err))
 
 
+def _finish_seed(eng, seed, handles, workloads, results, cfg):
+    from slslam_tpu.engine.refine import global_refine
+    import time as _t
+    t0 = _t.perf_counter()
+    res = eng.collect(handles.pop(seed))
+    frames, poses_gt = workloads[seed]
+    ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+    results[seed] = {
+        "seed_busy_s": round(_t.perf_counter() - t0, 3),
+        "kf": res.kf_count,
+        "ate_raw": round(_ate(res.trajectory, poses_gt), 4),
+        "ate_refined": round(_ate(ref.trajectory, poses_gt), 4),
+    }
+
+
 def bench_batch(platform, t_start):
     """Whole-sequence replay + global refine on device, over >= 5 render
     seeds: the measured path includes the post-replay global bundle
@@ -85,7 +100,8 @@ def bench_batch(platform, t_start):
         compute_dtype="float64" if platform == "cpu" else "float32",
         kf_rot_thr=1e-9, kf_tr_thr=1e-9)
 
-    # cold run: jit compile + execute (compile dominated; cached by XLA)
+    # cold run: jit compile + execute (compile dominated; cached by XLA —
+    # and by the persistent on-disk cache across processes)
     frames, poses_gt = _workload(cfg, num_frames, seed=seeds[0])
     eng = BatchSlam(cfg)
     t0 = time.perf_counter()
@@ -96,33 +112,43 @@ def bench_batch(platform, t_start):
     ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
     cold_s = time.perf_counter() - t0
 
-    # warm per-seed runs: replay + refine, all inside the measured wall
+    # warm runs: replay + refine for every seed inside ONE measured wall,
+    # pipelined — seed k+1's replay is dispatched (async) before seed k's
+    # host-side refine runs, so the chip computes while the host packs;
+    # per-seed ATEs still come from fully-independent solves
     results = {}
-    total_kf, total_wall = 0, 0.0
+    workloads = {}
     est = 0.2 * cold_s + 10.0
+    run_seeds = []
     for seed in seeds:
         if (time.perf_counter() - t_start) + est > TOTAL_BUDGET_S:
             break
-        frames, poses_gt = _workload(cfg, num_frames, seed=seed)
-        t0 = time.perf_counter()
-        res = eng.run(frames)
-        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
-        wall = time.perf_counter() - t0
-        est = 1.1 * wall
-        total_kf += res.kf_count
-        total_wall += wall
-        results[seed] = {
-            "wall_s": round(wall, 3),
-            "ate_raw": round(_ate(res.trajectory, poses_gt), 4),
-            "ate_refined": round(_ate(ref.trajectory, poses_gt), 4),
-        }
+        workloads[seed] = _workload(cfg, num_frames, seed=seed)
+        est += 4.0
+        run_seeds.append(seed)
 
-    if not results:
+    if run_seeds:
+        # interleaved 1-deep pipeline: enqueue order r0, r1, refine0, r2,
+        # refine1, ... — seed k's refine solves run right after replay
+        # k+1, and the host's packing overlaps the device's replays.
+        # (Enqueueing ALL replays first pushes every refine solve to the
+        # queue tail: measured 116 kf/s vs 119 for this order.)
+        t0 = time.perf_counter()
+        handles = {}
+        prev = None
+        for seed in run_seeds:
+            handles[seed] = eng.dispatch(workloads[seed][0])
+            if prev is not None:
+                _finish_seed(eng, prev, handles, workloads, results, cfg)
+            prev = seed
+        _finish_seed(eng, prev, handles, workloads, results, cfg)
+        total_wall = time.perf_counter() - t0
+        total_kf = sum(r["kf"] for r in results.values())
+    else:
         # budget consumed by the cold run: report it alone
-        wall = cold_s
         total_kf, total_wall = res.kf_count, cold_s
         results[seeds[0]] = {
-            "wall_s": round(cold_s, 2), "cold": True,
+            "wall_s": round(cold_s, 2), "cold": True, "kf": res.kf_count,
             "ate_raw": round(_ate(res.trajectory, poses_gt), 4),
             "ate_refined": round(_ate(ref.trajectory, poses_gt), 4),
         }
@@ -299,6 +325,12 @@ def main():
     from slslam_tpu.utils.compcache import enable_persistent_cache
     enable_persistent_cache()
     import jax
+
+    if os.environ.get("BENCH_CPU_FALLBACK") == "1":
+        # a site customization force-registers the TPU plugin and
+        # overrides JAX_PLATFORMS from the env (CLAUDE.md); only the
+        # in-process config update actually forces CPU
+        jax.config.update("jax_platforms", "cpu")
 
     platform = jax.devices()[0].platform
     if platform == "cpu":

@@ -48,6 +48,12 @@ class SlamConfig:
     # fixed batch of hypotheses scored in parallel (shape-stable under jit).
     ransac_min_sample: int = 5           # max_feat_num
     ransac_num_hypotheses: int = 256     # fixed batched trial count
+    # Minimal-solver rotation re-linearizations: 1 = the reference's
+    # single small-angle LS (slam.cpp:435-483); 2+ compose successive
+    # solves on rotated normals, removing the O(theta^2) bias (~3% at
+    # the 15-degree keyframe gate).  Cheap: one extra 2Sx3 solve per
+    # hypothesis per extra iteration.
+    vo_relin_iters: int = 2
     prob_free_outliers: float = 0.999
     ransac_max_t_norm: float = 1.0       # hypothesis reject (src/slam.cpp:401)
     # The |t| <= 1 gate assumes inter-frame motion; a recognized loop

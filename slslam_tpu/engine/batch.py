@@ -381,7 +381,8 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
                           num_hyp=cfg.ransac_num_hypotheses,
                           sample_size=min_s, robust=cfg.robust,
                           max_iters=cfg.max_num_iter,
-                          line_param=cfg.line_param)
+                          line_param=cfg.line_param,
+                          relin_iters=cfg.vo_relin_iters)
             ok = jnp.logical_and(n_common >= min_s,
                                  res.ransac_score >= min_s)
             ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(res.wt)))
@@ -642,6 +643,21 @@ class BatchSlam:
             frame_ids: Optional[List[int]] = None,
             normalized: bool = True,
             lifetime: Optional[int] = None) -> BatchResult:
+        return self.collect(self.dispatch(frames, frame_ids=frame_ids,
+                                          normalized=normalized,
+                                          lifetime=lifetime))
+
+    def dispatch(self, frames: List[Dict[int, np.ndarray]],
+                 frame_ids: Optional[List[int]] = None,
+                 normalized: bool = True,
+                 lifetime: Optional[int] = None):
+        """Enqueue the replay without blocking (JAX dispatch is async).
+
+        Returns an opaque handle for ``collect``.  Lets a caller overlap
+        the next sequence's device replay with this one's host-side
+        post-processing (bench.py pipelines seeds this way — the chip
+        works while the host packs the previous seed's refine problem).
+        """
         cfg = self.cfg
         if not normalized:
             frames = normalize_frames(frames, cfg.camera)
@@ -696,8 +712,11 @@ class BatchSlam:
 
         run = self._runner(Wn, Lp, Om, Rm, Fmax)
         carry, ys = run(carry0, xs)
-        carry, ys = jax.device_get((carry, ys))
+        return (carry, ys, pack, Lcap)
 
+    def collect(self, handle) -> BatchResult:
+        carry, ys, pack, Lcap = handle
+        carry, ys = jax.device_get((carry, ys))
         return self._collect(carry, ys, pack, Lcap)
 
     def _collect(self, carry, ys, pack, Lcap) -> BatchResult:

@@ -86,7 +86,7 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
              if nf in obs_new and of in obs_old]
     n = len(pairs)
     if n < cfg.ransac_min_sample:
-        return None, 0, n
+        return None, 0, n, {}
     N = bucket_for(n, cfg.corr_buckets)
     o0 = np.zeros((N, 8))
     o1 = np.zeros((N, 8))
@@ -107,7 +107,8 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
                       num_hyp=cfg.ransac_num_hypotheses,
                       sample_size=cfg.ransac_min_sample,
                       robust=cfg.robust, max_iters=cfg.max_num_iter,
-                      line_param=cfg.line_param)
+                      line_param=cfg.line_param,
+                      relin_iters=cfg.vo_relin_iters)
     # gate on the POST-polish inlier set (final_errors under the moBA
     # motion, slam.cpp:305-314): a wrong RANSAC model on few matches can
     # carry a majority of loose "inliers" (measured: an 8-of-11 edge sat
@@ -119,7 +120,14 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
     min_score = max(cfg.lc_min_inliers,
                     int(np.ceil(cfg.lc_min_inlier_ratio * n)))
     if n_final < min_score or not np.all(np.isfinite(wt)):
-        return None, n_final, n
+        return None, n_final, n, {}
+    # geometrically verified pairs only: the merge feeds the global
+    # refine, where one wrong identification couples two distinct 3D
+    # lines and bends the whole solution (measured on the myungdong
+    # proxy: merging all descriptor matches of an accepted span drove
+    # the refined ATE 4 m -> 18 m)
+    inl_pairs = {nf: of for (nf, of), good in zip(pairs, final_inl[:n])
+                 if good}
 
     # polish with a 2-camera FREE-LINE bundle adjustment: the moBA above
     # holds the old keyframe's stereo-triangulated lines fixed, so its
@@ -145,7 +153,7 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
     wt_polished = np.asarray(cam_out, np.float64)[1]
     if np.all(np.isfinite(wt_polished)):
         wt = wt_polished
-    return wt, n_final, n
+    return wt, n_final, n, inl_pairs
 
 
 def _consistency_broken(poses_wt: np.ndarray, edges: Sequence[Tuple[int,
@@ -345,7 +353,7 @@ class BatchSlamLC:
                 edge = None
                 for (k, old_k, match) in ordered[:3]:
                     key = jax.random.fold_in(base_key, int(kf_idx[k]))
-                    wt, score, n = _loop_relative_pose(
+                    wt, score, n, inl_pairs = _loop_relative_pose(
                         frames[kf_idx[old_k]], frames[kf_idx[k]], match,
                         cfg, self.dtype, key)
                     accepted = wt is not None
@@ -354,6 +362,11 @@ class BatchSlamLC:
                     solved_new.add(k)
                     if accepted:
                         edge = (old_k, k, wt)
+                        # only the solve's geometrically-verified inlier
+                        # pairs feed the track merge (a single wrong
+                        # identification couples two distinct 3D lines
+                        # in the refine and bends the whole map)
+                        merge_matches.append(inl_pairs)
                         break
                 for (k, old_k, match) in span:
                     if k not in solved_new:
@@ -361,10 +374,6 @@ class BatchSlamLC:
                                                 None, False, deduped=True))
                 if edge is not None:
                     loop_edges.append(edge)
-                    # the span's geometry is verified by its edge; every
-                    # candidate's mutual-NN descriptor matches (already
-                    # similarity-gated) feed the track merge
-                    merge_matches.extend(m for (_, _, m) in span)
         t_recog = time.perf_counter() - t1
 
         t2 = time.perf_counter()

@@ -327,19 +327,11 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
         _prior_c = np.stack([
             (trajectory[i + 1].inv() @ trajectory[i]).wt()
             for i in range(len(trajectory) - 1)])
-    inner = None
-    if rounds > 1:
-        inner = global_refine(frames, is_kf, trajectory, config=cfg,
-                              max_iters=max_iters, min_obs=min_obs,
-                              rounds=rounds - 1, method=method,
-                              odometry_prior=odometry_prior,
-                              _prior_c=_prior_c)
-        trajectory = inner.trajectory
     dtype = jnp.dtype(cfg.compute_dtype)
 
-    cam_wt, line_orth, obs, ocam, olin, feat_ids = build_global_problem(
-        frames, is_kf, trajectory, cfg, min_obs=min_obs)
-    K, L, O = len(cam_wt), len(line_orth), len(obs)
+    s = build_problem_structure(frames, is_kf, min_obs=min_obs)
+    K = len(trajectory)
+    L, O = len(s.feat_ids), len(s.obs)
     if L == 0 or O == 0:
         # degenerate sequence: nothing observed twice — return the input
         return RefineResult(
@@ -367,22 +359,16 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
     cam_free = np.ones(K, bool)
     cam_free[0] = False                      # gauge: world = KF0 camera
 
-    # Staged solve: lines first (cameras fixed), then joint.  The line
-    # init carries single-stereo-pair depth noise; solving lines alone is
-    # a batch of independent well-conditioned 4-DoF problems that lands
-    # them in the right basin before poses are allowed to move (measured
-    # on the 60-frame gated-keyframe run: joint-only stalls at cost 0.146
-    # / ATE 0.24, staged reaches the basin).
+    # Solver closure over the (round-invariant) packed layout.
     if method == "cg":
         from ..ops.schur_cg import global_ba_cg, pack_line_major
 
-        p = pack_line_major(obs, ocam, olin, K, L)
+        p = pack_line_major(s.obs, s.ocam, s.olin, K, L)
         line_free = np.ones(L, bool)
-
         prior = (jnp.asarray(_prior_c, dtype)
                  if _prior_c is not None else None)
 
-        def solve_cg(cam_in, line_in, cfree, iters):
+        def solve(cam_in, line_in, cfree, iters):
             return global_ba_cg(
                 jnp.asarray(cam_in, dtype), jnp.asarray(line_in, dtype),
                 jnp.asarray(p.obs, dtype), jnp.asarray(p.obs_cam),
@@ -395,31 +381,26 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                 line_param=cfg.line_param, prior_c=prior,
                 prior_sigma_rot=cfg.refine_prior_sigma_rot,
                 prior_sigma_t=cfg.refine_prior_sigma_t)
-
-        _, line_st, _ = solve_cg(cam_wt, line_orth,
-                                 np.zeros(K, bool), max_iters)
-        cam_out, line_out, stats = solve_cg(cam_wt, line_st, cam_free,
-                                            max_iters)
     else:
         Lb = bucket_for(L, cfg.line_buckets)
         Ob = 1024 * max(1, -(-O // 1024))
-        lorth_p = np.zeros((Lb, 4))
-        lorth_p[:, 3] = 0.5
-        lorth_p[:L] = line_orth
         obs_p = np.zeros((Ob, 8))
-        obs_p[:O] = obs
+        obs_p[:O] = s.obs
         ocam_p = np.zeros(Ob, np.int32)
-        ocam_p[:O] = ocam
+        ocam_p[:O] = s.ocam
         olin_p = np.zeros(Ob, np.int32)
-        olin_p[:O] = olin
+        olin_p[:O] = s.olin
         ovalid = np.zeros(Ob, bool)
         ovalid[:O] = True
         line_free = np.zeros(Lb, bool)
         line_free[:L] = True
 
-        def solve_dense(cam_in, line_in, cfree, iters):
+        def solve(cam_in, line_in, cfree, iters):
+            lorth_p = np.zeros((Lb, 4))
+            lorth_p[:, 3] = 0.5
+            lorth_p[:L] = line_in
             return local_ba_impl(
-                jnp.asarray(cam_in, dtype), jnp.asarray(line_in, dtype),
+                jnp.asarray(cam_in, dtype), jnp.asarray(lorth_p, dtype),
                 jnp.asarray(obs_p, dtype), jnp.asarray(ocam_p),
                 jnp.asarray(olin_p), jnp.asarray(ovalid),
                 jnp.asarray(cfree), jnp.asarray(line_free),
@@ -428,23 +409,37 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                 robust=cfg.robust, max_iters=iters,
                 line_param=cfg.line_param, assembly="scatter")
 
-        _, line_st, _ = solve_dense(cam_wt, lorth_p,
+    # Rounds: each round re-inits lines from the current trajectory
+    # (fresh triangulation restarts LM near the basin — the first pass's
+    # stereo-depth noise puts it in a slow-descent valley; measured on
+    # the 60-frame house replay: ATE 0.375 -> 0.098 (1 round) -> 0.037
+    # (2 rounds)).  Round 1 additionally stages a lines-only solve
+    # (cameras fixed): independent well-conditioned 4-DoF problems land
+    # the lines in the right basin before poses move (joint-only stalls
+    # at cost 0.146 / ATE 0.24 on the gated-keyframe run).  Later rounds
+    # start from refined poses, so the staged solve is redundant — one
+    # joint solve each (3 device solves total for rounds=2, was 4).
+    initial_cost = None
+    iterations = 0
+    traj = list(trajectory)
+    for r in range(rounds):
+        cam_wt, line_orth = init_problem_values(s, traj, cfg)
+        if r == 0:
+            _, line_orth, _ = solve(cam_wt, line_orth,
                                     np.zeros(K, bool), max_iters)
-        cam_out, line_out, stats = solve_dense(cam_wt, line_st, cam_free,
-                                               max_iters)
+            line_orth = np.asarray(line_orth, np.float64)[:L]
+        cam_out, line_out, stats = solve(cam_wt, line_orth, cam_free,
+                                         max_iters)
+        cam_out = np.asarray(cam_out, np.float64)
+        line_out = np.asarray(line_out, np.float64)[:L]
+        traj = [Pose.from_wt(w).inv() for w in cam_out]
+        if initial_cost is None:
+            initial_cost = float(stats.initial_cost)
+        iterations += int(stats.iterations)
 
-    cam_out = np.asarray(cam_out, np.float64)
-    line_out = np.asarray(line_out, np.float64)[:L]
-    traj = [Pose.from_wt(w).inv() for w in cam_out]
     lines_w = orth_to_av_np(line_out)
-    # across rounds: report the first round's pre-refine cost and the total
-    # LM work (the per-round numbers would understate both)
-    initial_cost = (inner.initial_cost if inner is not None
-                    else float(stats.initial_cost))
-    iterations = int(stats.iterations) + (inner.iterations
-                                          if inner is not None else 0)
     return RefineResult(
-        trajectory=traj, lines_world=lines_w, feature_ids=feat_ids,
+        trajectory=traj, lines_world=lines_w, feature_ids=s.feat_ids,
         initial_cost=initial_cost,
         final_cost=float(stats.final_cost),
         iterations=iterations,

@@ -276,7 +276,8 @@ class Slam:
             num_hyp=cfg.ransac_num_hypotheses,
             sample_size=cfg.ransac_min_sample,
             robust=cfg.robust, max_iters=cfg.max_num_iter,
-            line_param=cfg.line_param)
+            line_param=cfg.line_param,
+            relin_iters=cfg.vo_relin_iters)
         # one fused device->host fetch for the whole VO result
         best_score, wt, errors = jax.device_get(
             (res.ransac_score, res.wt, res.final_errors))

@@ -475,28 +475,43 @@ class VocTree:
 # vocabulary training (the reference loads a prebuilt binary; we can build)
 # ---------------------------------------------------------------------------
 
+_MIN_SAMPLES_PER_CLUSTER = 6
+
+
 def _kmeans(feats: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
-    """Spherical k-means (dist = 1 - dot on normalized vectors)."""
+    """Spherical k-means (dist = 1 - dot on normalized vectors).
+
+    Sparse nodes cap their effective cluster count at
+    ``n // _MIN_SAMPLES_PER_CLUSTER``: when a node holds fewer samples
+    than cluster slots, unconstrained k-means shatters each descriptor's
+    observation-noise ball into singleton leaves and requantization
+    becomes a coin flip (measured: two noisy copies of the same
+    descriptor agreed on a leaf only ~40% of the time on a 1000-word
+    corpus under a 64000-leaf tree).  Classic vocabulary-tree practice
+    is to stop splitting sparse nodes; unused centroid slots are filled
+    with duplicates of the first centers, which argmax resolves to the
+    lowest index — deterministic, so they change nothing.
+    """
     n = len(feats)
     if n == 0:
         c = rng.standard_normal((k, feats.shape[1] if feats.ndim == 2
                                  else DESC_DIM)).astype(np.float32)
         return c / np.linalg.norm(c, axis=1, keepdims=True)
-    centers = feats[rng.choice(n, size=min(k, n), replace=False)].copy()
-    if len(centers) < k:
-        extra = rng.standard_normal((k - len(centers),
-                                     feats.shape[1])).astype(np.float32)
-        extra /= np.linalg.norm(extra, axis=1, keepdims=True)
-        centers = np.concatenate([centers, extra])
+    k_eff = max(1, min(k, n // _MIN_SAMPLES_PER_CLUSTER))
+    centers = feats[rng.choice(n, size=min(k_eff, n),
+                               replace=False)].copy()
     for _ in range(iters):
         assign = np.argmax(feats @ centers.T, axis=1)
-        for j in range(k):
+        for j in range(len(centers)):
             sel = feats[assign == j]
             if len(sel):
                 c = sel.mean(axis=0)
                 nc = np.linalg.norm(c)
                 if nc > 0:
                     centers[j] = c / nc
+    if len(centers) < k:
+        pad = centers[np.arange(k - len(centers)) % len(centers)]
+        centers = np.concatenate([centers, pad])
     return centers
 
 

@@ -51,12 +51,18 @@ def _safe_normalize(v):
     return v / jnp.maximum(n, _EPS), n[..., 0]
 
 
-def minimal_motion(obs0, obs1, a4_x):
+def minimal_motion(obs0, obs1, a4_x, relin_iters=1):
     """vo_angle_axis_approx for one 5-sample set (slam.cpp:433-574).
 
     obs0, obs1: (S, 8) stereo observations in the previous / current frame.
     a4_x: the reference's `baseline` argument — called with -baseline
     (slam.cpp:391-392).
+    relin_iters: rotation re-linearization count.  1 = the reference's
+    single small-angle solve (exact replica); >1 composes successive
+    small-angle solves on rotated normals — the small-angle system drops
+    O(theta^2) terms, a ~3% rotation bias at the 15-degree keyframe gate
+    that the extra iterations remove (each iteration solves for a
+    residual rotation an order smaller).
 
     Returns (wt (6,), ok) where ok is False when the reference would have
     returned zero solutions.
@@ -67,30 +73,35 @@ def minimal_motion(obs0, obs1, a4_x):
     l4 = _lifted_line(obs1[:, 4:6], obs1[:, 6:8])     # right curr
 
     lx_raw = jnp.cross(l1, l2)
-    lx, lxn = _safe_normalize(lx_raw)
+    lx0, lxn = _safe_normalize(lx_raw)
     ly3, l3n = _safe_normalize(l3)
     ly4, l4n = _safe_normalize(l4)
 
-    def k_rows(ly):
-        # row: (cross(lx, ly) , lx . ly) per the reference layout
-        # K = [lx2*ly1 - lx1*ly2, lx0*ly2 - lx2*ly0, lx1*ly0 - lx0*ly1, lx.ly]
-        c = jnp.stack([
-            lx[:, 2] * ly[:, 1] - lx[:, 1] * ly[:, 2],
-            lx[:, 0] * ly[:, 2] - lx[:, 2] * ly[:, 0],
-            lx[:, 1] * ly[:, 0] - lx[:, 0] * ly[:, 1],
-        ], axis=-1)
-        d = jnp.sum(lx * ly, axis=-1, keepdims=True)
-        return jnp.concatenate([c, d], axis=-1)
+    def small_angle_w(lx):
+        def k_rows(ly):
+            # row: (cross(lx, ly) , lx . ly) per the reference layout
+            c = jnp.stack([
+                lx[:, 2] * ly[:, 1] - lx[:, 1] * ly[:, 2],
+                lx[:, 0] * ly[:, 2] - lx[:, 2] * ly[:, 0],
+                lx[:, 1] * ly[:, 0] - lx[:, 0] * ly[:, 1],
+            ], axis=-1)
+            d = jnp.sum(lx * ly, axis=-1, keepdims=True)
+            return jnp.concatenate([c, d], axis=-1)
 
-    K = jnp.concatenate([k_rows(ly3), k_rows(ly4)], axis=0)  # (2S, 4)
+        K = jnp.concatenate([k_rows(ly3), k_rows(ly4)], axis=0)  # (2S, 4)
+        A = K[:, :3]
+        b = -K[:, 3]
+        # w = -(A^T A)^-1 A^T b with b = -K.col(3)  (slam.cpp:478-482)
+        return -jnp.linalg.solve(A.T @ A + _EPS * jnp.eye(3, dtype=A.dtype),
+                                 A.T @ b)
 
-    A = K[:, :3]
-    b = -K[:, 3]
-    AtA = A.T @ A
-    Atb = A.T @ b
-    # w = -(A^T A)^-1 A^T b with b = -K.col(3)  (slam.cpp:478-482)
-    w = -jnp.linalg.solve(AtA + _EPS * jnp.eye(3, dtype=A.dtype), Atb)
+    w = small_angle_w(lx0)
     R = geo.rodrigues(w)
+    for _ in range(relin_iters - 1):
+        # residual rotation on the already-rotated prev normals
+        dw = small_angle_w(lx0 @ R.T)
+        R = geo.rodrigues(dw) @ R
+        w = geo.so3_log(R)
 
     # Translation system (slam.cpp:485-565).
     l1n_, l1nn = _safe_normalize(l1)
@@ -134,7 +145,7 @@ def minimal_motion(obs0, obs1, a4_x):
 
     A2 = M[:, :3]
     b2 = -M[:, 3]
-    t = jnp.linalg.solve(A2.T @ A2 + _EPS * jnp.eye(3, dtype=A.dtype),
+    t = jnp.linalg.solve(A2.T @ A2 + _EPS * jnp.eye(3, dtype=A2.dtype),
                          A2.T @ b2)
 
     # The reference only rejects exact-zero norms (slam.cpp:458,467,497...);
@@ -145,13 +156,22 @@ def minimal_motion(obs0, obs1, a4_x):
     return wt, ok
 
 
-minimal_motion_batch = jax.vmap(minimal_motion, in_axes=(0, 0, None))
+@functools.lru_cache(maxsize=None)
+def _minimal_motion_batch_for(relin_iters):
+    return jax.vmap(
+        functools.partial(minimal_motion, relin_iters=relin_iters),
+        in_axes=(0, 0, None))
+
+
+def minimal_motion_batch(s0, s1, a4_x, relin_iters=1):
+    return _minimal_motion_batch_for(relin_iters)(s0, s1, a4_x)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("num_hyp", "sample_size"))
+                   static_argnames=("num_hyp", "sample_size",
+                                    "relin_iters"))
 def ransac_vo(obs0, obs1, lines, valid, key, baseline, error_thr,
-              max_t_norm=1.0, num_hyp=256, sample_size=5):
+              max_t_norm=1.0, num_hyp=256, sample_size=5, relin_iters=1):
     """Batched RANSAC motion estimation.
 
     Args:
@@ -177,7 +197,8 @@ def ransac_vo(obs0, obs1, lines, valid, key, baseline, error_thr,
 
     s0 = obs0[samples]                                 # (H, S, 8)
     s1 = obs1[samples]
-    wt, ok = minimal_motion_batch(s0, s1, -baseline)   # (H, 6), (H,)
+    wt, ok = minimal_motion_batch(s0, s1, -baseline,
+                                  relin_iters=relin_iters)  # (H, 6), (H,)
 
     R = geo.rodrigues(wt[:, :3])                       # (H, 3, 3)
     t = wt[:, 3:]

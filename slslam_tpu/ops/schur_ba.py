@@ -243,13 +243,14 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
       (cam_wt', line_orth', BAStats)
     """
     if assembly is None:
-        # measured on the chip (tools/tpu_probe.py assembly, r3): full
-        # local_ba warm wall at window scale (C=20,L=129,O=2560) —
-        # scatter 0.80 ms, onehot 1.03 ms, pallas 1.21 ms; at refine
-        # scale (C=128,L=512,O=16384) — scatter 0.16 ms, pallas 0.13 ms,
-        # onehot 0.64 ms.  Scatter wins or ties everywhere, so it is the
-        # default on every backend; onehot/pallas stay selectable.
-        assembly = "scatter"
+        # chip-measured r3 (tools/tpu_probe.py assembly): STANDALONE the
+        # full local_ba wall is scatter 0.80 ms vs onehot 1.03 ms at
+        # window scale — but inside the batch engine's fused lax.scan the
+        # scatter lowering serializes and costs ~25 ms/keyframe (bench
+        # fell 105 -> 25 kf/s when scatter was tried as the TPU default),
+        # so TPU keeps onehot; CPU keeps scatter.
+        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
+                    else "scatter")
     dtype = cam_wt.dtype
     ftol, ptol = _tolerances(dtype)
     cam_free_f = cam_free.astype(dtype)
@@ -407,7 +408,8 @@ def local_ba_sharded_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
     the solve — independent of the number of lines/observations.
     """
     if assembly is None:
-        assembly = "scatter"   # chip-measured winner (see local_ba_impl)
+        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
+                    else "scatter")   # see local_ba_impl
     dtype = cam_wt.dtype
     ftol, ptol = _tolerances(dtype)
     cam_free_f = cam_free.astype(dtype)

@@ -35,7 +35,7 @@ class VOResult(NamedTuple):
 
 def vo_body(obs0, obs1, lines_av, valid, key, baseline, error_thr,
             huber_delta, max_t_norm=1.0, num_hyp=256, sample_size=5,
-            robust=True, max_iters=10, line_param="orth"):
+            robust=True, max_iters=10, line_param="orth", relin_iters=1):
     """Traced body of the VO solve; also reused inside the device-resident
     batch engine's scan step (engine/batch.py).  The caller thresholds
     final_errors on the host to form the final inlier set and applies the
@@ -48,6 +48,11 @@ def vo_body(obs0, obs1, lines_av, valid, key, baseline, error_thr,
     g = jnp.where(valid[None, :], g, -jnp.inf)
     _, samples = jax.lax.top_k(g, sample_size)
 
+    # hypotheses use the reference's single small-angle solve: its
+    # O(theta^2) bias makes contaminated 5-samples score POORLY (a sloppy
+    # wrong model picks up few coincidental inliers), which is part of
+    # the RANSAC's outlier robustness — re-linearized hypotheses measured
+    # WORSE under 5% id-swap outliers (itbt3f slice: 0.27 -> 0.72 m ATE)
     wt_h, ok = minimal_motion_batch(obs0[samples], obs1[samples], -baseline)
     R = geo.rodrigues(wt_h[:, :3])
     t = wt_h[:, 3:]
@@ -61,6 +66,28 @@ def vo_body(obs0, obs1, lines_av, valid, key, baseline, error_thr,
     best_wt = wt_h[best]
     best_score = score_h[best]
     inliers = inl_h[best]
+
+    if relin_iters > 1:
+        # the WINNER's sample is re-solved with rotation re-linearization,
+        # removing the ~3% small-angle bias before the moBA polish
+        # (clean-data itbt3f slice: 0.11 -> 0.06 m ATE); two extra tiny
+        # solves, not 2*H.  Guarded by a full re-scoring pass: if the
+        # winner's sample carried an undetected outlier, the "exact"
+        # re-solve overfits it and jumps out of the broad-support basin
+        # (unguarded, the 5%-id-swap slice degraded 0.27 -> 0.53 m), so
+        # the re-linearized model must win the same inlier vote to be
+        # adopted.
+        from .ransac import minimal_motion
+        wt_r, ok_r = minimal_motion(obs0[samples[best]],
+                                    obs1[samples[best]], -baseline,
+                                    relin_iters=relin_iters)
+        good = jnp.logical_and(ok_r, jnp.all(jnp.isfinite(wt_r)))
+        err_r = score_error_hyp_obs(obs1, geo.rodrigues(wt_r[None, :3]),
+                                    wt_r[None, 3:], lines_av, baseline)[0]
+        inl_r = jnp.logical_and(err_r < error_thr, valid)
+        good = jnp.logical_and(good, jnp.sum(inl_r) >= best_score)
+        best_wt = jnp.where(good, wt_r, best_wt)
+        inliers = jnp.where(good, inl_r, inliers)
 
     # ---- motion-only BA (slam.cpp:578-675): cam0 free, cam1 fixed,
     # all lines fixed, observations = inliers only (via validity mask) ----
@@ -92,4 +119,4 @@ def vo_body(obs0, obs1, lines_av, valid, key, baseline, error_thr,
 
 vo_pipeline = jax.jit(
     vo_body, static_argnames=("num_hyp", "sample_size", "robust",
-                              "max_iters", "line_param"))
+                              "max_iters", "line_param", "relin_iters"))

@@ -25,12 +25,23 @@ from ..hostgeom import Pose
 class StereoLineRenderer:
     def __init__(self, segments_w, camera: CameraConfig = None,
                  noise_px: float = 0.0, seed: int = 0,
-                 z_near: float = 0.2, min_len_px: float = 20.0):
+                 z_near: float = 0.2, min_len_px: float = 20.0,
+                 max_range: float = None):
+        """max_range: cull segments whose midpoint is further than this
+        (meters) from the camera.  Real line detectors lose contrast and
+        association stability with distance; None = infinite range (the
+        house/village defaults).  Finite range also keeps co-visibility
+        LOCAL, which is what makes bag-of-words place recognition
+        discriminative along corridors/streets (with infinite range a
+        corridor camera "sees" the far end 25 m away and two keyframes
+        22 m apart share most of their words — measured on the itbt3f
+        proxy, where that produced confident false loop detections)."""
         self.segments_w = np.asarray(segments_w, float)
         self.cam = camera or CameraConfig()
         self.noise_px = noise_px
         self.rng = np.random.default_rng(seed)
         self.z_near = z_near
+        self.max_range = max_range
         self.min_len = min_len_px / self.cam.focal_length
         # normalized-coordinate image bounds
         c = self.cam
@@ -106,6 +117,9 @@ class StereoLineRenderer:
         for sid, seg in enumerate(self.segments_w):
             p1 = T_wc.R @ seg[:3] + T_wc.t
             p2 = T_wc.R @ seg[3:] + T_wc.t
+            if self.max_range is not None and \
+                    np.linalg.norm(0.5 * (p1 + p2)) > self.max_range:
+                continue
             left = self._project_one(p1, p2)
             if left is None:
                 continue

@@ -75,8 +75,10 @@ def interpolate_poses(poses_wc: List[Pose], max_rot: float = 0.05,
     return out
 
 
-def _path_stations(positions: np.ndarray, gap: float):
-    """Resample a polyline at ~gap arc-length spacing; returns (P, tangents)."""
+def _path_stations(positions: np.ndarray, gap: float,
+                   return_arcs: bool = False):
+    """Resample a polyline at ~gap arc-length spacing; returns (P, tangents)
+    (+ per-station arc length when return_arcs)."""
     seg = np.diff(positions, axis=0)
     seglen = np.linalg.norm(seg, axis=1)
     s = np.concatenate([[0.0], np.cumsum(seglen)])
@@ -88,13 +90,18 @@ def _path_stations(positions: np.ndarray, gap: float):
     tan = np.gradient(pts, axis=0)
     nrm = np.linalg.norm(tan, axis=1, keepdims=True)
     tan = tan / np.maximum(nrm, 1e-9)
+    if return_arcs:
+        return pts, tan, si
     return pts, tan
 
 
 def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
                       station_gap: float = 1.5, height: float = 3.0,
                       up=(0.0, -1.0, 0.0), n_heights: int = 2,
-                      jitter: float = 0.3, seed: int = 0) -> np.ndarray:
+                      jitter: float = 0.3, seed: int = 0,
+                      sign_density: float = 0.0,
+                      banner_every: int = 0,
+                      return_arcs: bool = False) -> np.ndarray:
     """Line-segment world flanking a camera path (both sides).
 
     At stations every ``station_gap`` meters along the path, place on each
@@ -104,12 +111,26 @@ def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
     street sequences actually contain.  ``up`` is the world up direction
     (the reference's saved frame has camera-y pointing down, so up=-y).
     Returns (N, 6) world segments (x1 y1 z1 x2 y2 z2).
+
+    Near-field structure (r3): a wall-only world leaves the camera with
+    nothing closer than ``lateral/tan(fov/2)`` ~ 9-17 m when it looks
+    straight down the street, which makes yaw vs lateral-translation a
+    near-null Fisher pair — measured on the myungdong proxy, VO confused
+    a pure forward step for 0.7 m of crab + 0.04 rad of yaw through an
+    entire straight section.  Real market streets resolve this with
+    close clutter, so:
+    * ``sign_density`` > 0 adds protruding sign/stall edges per station
+      — short segments at 25-60% of ``lateral`` (myungdong's shopfront
+      signs; olympic4f's concourse columns);
+    * ``banner_every`` > 0 hangs an overhead line ACROSS the path every
+      that many stations (myungdong's street banners) — perpendicular,
+      near, and high-parallax: the single strongest yaw/lateral anchor.
     """
     rng = np.random.default_rng(seed)
     up = np.asarray(up, float)
     up = up / np.linalg.norm(up)
     centers = np.stack([T.inv().t for T in poses_wc])   # camera positions
-    pts, tan = _path_stations(centers, station_gap)
+    pts, tan, si = _path_stations(centers, station_gap, return_arcs=True)
     # project tangents off the up axis so lateral is horizontal
     tan = tan - (tan @ up)[:, None] * up[None, :]
     tan /= np.maximum(np.linalg.norm(tan, axis=1, keepdims=True), 1e-9)
@@ -120,6 +141,7 @@ def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
     floor = pts - 1.2 * up[None, :]
 
     segs = []
+    arcs = []
     for side in (-1.0, 1.0):
         base = floor + side * lateral * lat \
             + rng.normal(0.0, jitter, floor.shape) * 0.5
@@ -127,6 +149,7 @@ def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
         for k in range(len(pts)):
             h = height * rng.uniform(0.7, 1.3)
             segs.append(np.concatenate([base[k], base[k] + h * up]))
+            arcs.append(si[k])
         # horizontal facade lines between consecutive stations — kept away
         # from camera height (the path runs ~1.2 above the floor): a wall
         # line at exactly camera height is coplanar with the stereo
@@ -138,6 +161,7 @@ def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
                 a = base[k] + h * up
                 b = base[k + 1] + h * up
                 segs.append(np.concatenate([a, b]))
+                arcs.append(0.5 * (si[k] + si[k + 1]))
         # oblique edges (door frames, braces, shopfront diagonals): a
         # vertical component keeps them off the epipolar plane everywhere
         for k in range(len(pts) - 1):
@@ -146,6 +170,34 @@ def corridor_segments(poses_wc: List[Pose], lateral: float = 4.0,
             a = base[k] + h1 * up
             b = base[k + 1] + h2 * up
             segs.append(np.concatenate([a, b]))
+            arcs.append(0.5 * (si[k] + si[k + 1]))
+        # protruding signs / stalls: short near-field edges
+        if sign_density > 0:
+            for k in range(len(pts)):
+                for _ in range(int(sign_density + rng.random())):
+                    r = rng.uniform(0.25, 0.6) * lateral
+                    p0 = floor[k] + side * r * lat[k] \
+                        + rng.uniform(0.3, 0.8) * station_gap * tan[k]
+                    h0 = rng.uniform(1.8, 2.6)
+                    # sign board: one vertical drop + one short edge
+                    a = p0 + h0 * up
+                    segs.append(np.concatenate([a, a + rng.uniform(0.4, 0.9)
+                                                * up]))
+                    arcs.append(si[k])
+                    d = (tan[k] if rng.random() < 0.5 else
+                         side * lat[k]) * rng.uniform(0.4, 1.0)
+                    segs.append(np.concatenate([a, a + d + 0.12 * up]))
+                    arcs.append(si[k])
+    if banner_every and banner_every > 0:
+        for k in range(0, len(pts) - 1, banner_every):
+            h = rng.uniform(3.0, 3.8)
+            sag = rng.uniform(0.0, 0.25)
+            a = floor[k] + lateral * lat[k] + h * up
+            b = floor[k] - lateral * lat[k] + (h - sag) * up
+            segs.append(np.concatenate([a, b]))
+            arcs.append(si[k])
+    if return_arcs:
+        return np.asarray(segs), np.asarray(arcs)
     return np.asarray(segs)
 
 
@@ -178,19 +230,32 @@ class OutlierInjector:
 
 
 SEQUENCES = {
-    # name -> (trajectory file stem, corridor lateral half-width in m)
-    # itbt3f: indoor 3rd-floor corridor; olympic4f: large indoor concourse;
-    # myungdong: outdoor shopping street (wider facades).
-    "itbt3f": ("traj_slslam_itbt3f_basize10_wolc.txt", 3.0),
-    "olympic4f": ("traj_slslam_olympic4f_basize10_wolc.txt", 5.0),
-    "myungdong": ("traj_slslam_myungdong_basize10_wolc.txt", 7.0),
+    # name -> (trajectory file stem, lateral half-width m, sign density,
+    #          banner spacing in stations, detection range m)
+    # itbt3f: indoor 3rd-floor corridor (near walls — no clutter needed;
+    # short detection range, interior lighting);
+    # olympic4f: large indoor concourse (columns/booths in the hall,
+    # big structures detectable further);
+    # myungdong: outdoor market street — dense shopfront signage and
+    # overhead street banners (the near-field structure the real scene
+    # supplies; without it the wall-only world leaves a yaw/lateral VO
+    # ambiguity the real sequence never had — see corridor_segments).
+    # The detection range bounds co-visibility (real detectors lose
+    # distant lines), which both matches realistic track statistics and
+    # makes bag-of-words place recognition spatially discriminative
+    # (StereoLineRenderer.max_range).
+    "itbt3f": ("traj_slslam_itbt3f_basize10_wolc.txt", 3.0, 0.0, 0, 15.0),
+    "olympic4f": ("traj_slslam_olympic4f_basize10_wolc.txt",
+                  5.0, 0.6, 0, 25.0),
+    "myungdong": ("traj_slslam_myungdong_basize10_wolc.txt",
+                  7.0, 1.0, 4, 20.0),
 }
 
 
 def real_proxy_workload(sequence: str, max_frames: int | None = None,
                         noise_px: float = 0.5, outlier_frac: float = 0.0,
                         max_gap: int = 5, seed: int = 0, interpolate=False,
-                        assigner=None,
+                        assigner=None, max_range: float = None,
                         ref_dir: str = "/root/reference/matlab_script"):
     """Build the full proxy workload for a named real sequence.
 
@@ -206,17 +271,22 @@ def real_proxy_workload(sequence: str, max_frames: int | None = None,
     from .render import StereoLineRenderer
     from .tracks import TrackIdAssigner
 
-    stem, lateral = SEQUENCES[sequence]
+    stem, lateral, sign_density, banner_every, seq_range = \
+        SEQUENCES[sequence]
+    if max_range is None:
+        max_range = seq_range
     all_poses = load_reference_poses(f"{ref_dir}/{stem}")
     poses = all_poses[:max_frames] if max_frames else all_poses
     # build the world from a slightly longer pose range so a truncated
     # replay still has scenery ahead of the last camera
     world_poses = all_poses[:max_frames + 15] if max_frames else all_poses
-    segs = corridor_segments(world_poses, lateral=lateral, seed=seed)
+    segs = corridor_segments(world_poses, lateral=lateral, seed=seed,
+                             sign_density=sign_density,
+                             banner_every=banner_every)
     if interpolate:
         poses = interpolate_poses(poses)
     ren = StereoLineRenderer(segs, CameraConfig(), noise_px=noise_px,
-                             seed=seed)
+                             seed=seed, max_range=max_range)
     if assigner is None:
         assigner = TrackIdAssigner(max_gap=max_gap)
     inject = OutlierInjector(outlier_frac, seed=seed + 1) \

@@ -23,3 +23,9 @@ if not _REAL_DEVICE:
     # that overrides JAX_PLATFORMS from the env; jax.config wins over it.
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+
+# the suite is compile-dominated (mesh/shard_map kernels, the batch-engine
+# scan); the persistent cache makes repeat runs start warm
+from slslam_tpu.utils.compcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

@@ -70,10 +70,18 @@ class TestBuildGlobalProblem:
         assert 999999 not in feat_ids
 
 
+@pytest.fixture(scope="module")
+def refined(replay, cfg):
+    """One shared global_refine solve (each solve costs ~45 s on CPU f64;
+    the assertions below check independent properties of the same run)."""
+    frames, _, res = replay
+    return global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+
+
 class TestGlobalRefine:
-    def test_cost_decreases_and_gauge_fixed(self, replay, cfg):
-        frames, _, res = replay
-        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+    def test_cost_decreases_and_gauge_fixed(self, replay, refined):
+        _, _, res = replay
+        ref = refined
         assert ref.final_cost < ref.initial_cost
         assert ref.num_cams == res.kf_count
         # gauge: keyframe 0 pinned at identity
@@ -81,20 +89,18 @@ class TestGlobalRefine:
         assert np.allclose(T0.R, np.eye(3), atol=1e-12)
         assert np.allclose(T0.t, 0.0, atol=1e-12)
 
-    def test_ate_improves(self, replay, cfg):
+    def test_ate_improves(self, replay, refined):
         frames, poses, res = replay
         ate0 = _ate(res.trajectory, poses, res.is_kf)
-        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
-        ate1 = _ate(ref.trajectory, poses, res.is_kf)
+        ate1 = _ate(refined.trajectory, poses, res.is_kf)
         # the windowed estimator freezes early-edge noise the global solve
         # can heal (BENCH.md); require a real improvement, not just parity
         assert ate1 < ate0
         assert ate1 < 0.05
 
-    def test_refined_lines_fit_better(self, replay, cfg):
+    def test_refined_lines_fit_better(self, refined):
         """Refined landmark lines reproject with lower error than the init."""
-        frames, _, res = replay
-        ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
+        ref = refined
         assert ref.num_lines > 10
         assert ref.num_obs > ref.num_lines * 2
         assert np.isfinite(ref.lines_world).all()

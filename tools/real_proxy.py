@@ -40,18 +40,25 @@ def run_sequence(seq, args):
     import jax
     platform = jax.devices()[0].platform
     interp = not args.no_interp
+    over = {}
+    if args.max_num_iter:
+        # the reference's own benchmark sweeps --max_num_iter in {10,
+        # 1000} (ba_result_* files); 10 underconverges the windowed BA
+        # on dense outdoor windows (avg iterations pinned at the cap)
+        over["max_num_iter"] = args.max_num_iter
     if interp:
         # video-rate replay: the engine runs its own keyframe gates
         # (15 deg / 0.75 m, the reference's; slam.cpp:1374-1382)
         cfg = dataclasses.replace(
             SlamConfig(),
-            compute_dtype="float64" if platform == "cpu" else "float32")
+            compute_dtype="float64" if platform == "cpu" else "float32",
+            **over)
     else:
         # raw keyframe replay: every input pose IS a keyframe
         cfg = dataclasses.replace(
             SlamConfig(),
             compute_dtype="float64" if platform == "cpu" else "float32",
-            kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+            kf_rot_thr=1e-9, kf_tr_thr=1e-9, **over)
 
     from slslam_tpu.sim.tracks import TrackIdAssigner
     assigner = TrackIdAssigner(max_gap=5)
@@ -121,8 +128,11 @@ def run_sequence(seq, args):
     )
     if lc_res is not None:
         out.update(
+            num_loop_candidates=lc_res.stats.get("num_loop_candidates"),
+            num_loop_spans=lc_res.stats.get("num_loop_spans"),
             num_loop_closures=lc_res.stats["num_loop_closures"],
             num_merged_tracks=lc_res.stats["num_merged_tracks"],
+            recognizer=dict(getattr(eng.recognizer, "stats", {})),
         )
     print(json.dumps(out))
     return out
@@ -137,6 +147,9 @@ def main(argv=None):
     ap.add_argument("--outlier-frac", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tpu", action="store_true")
+    ap.add_argument("--max-num-iter", type=int, default=0,
+                    help="windowed-BA LM iteration cap (reference sweeps "
+                         "10 and 1000; 0 = config default)")
     ap.add_argument("--no-interp", action="store_true",
                     help="replay raw keyframe poses (15-degree jumps at "
                          "corners) instead of video-rate interpolation")
