@@ -57,11 +57,13 @@ class SlamConfig:
     prob_free_outliers: float = 0.999
     ransac_max_t_norm: float = 1.0       # hypothesis reject (src/slam.cpp:401)
     # The |t| <= 1 gate assumes inter-frame motion; a recognized loop
-    # keyframe can legitimately sit further away (place recognition
-    # resolution is one document).  New-build policy: a wider gate for the
-    # loop-closure relative-pose solve, still verified by moBA + inliers +
-    # the consistency check.
-    lc_ransac_max_t_norm: float = 2.5
+    # keyframe can legitimately sit MUCH further away — terminal-approach
+    # recognition fires while the camera is still 4-17 m from the
+    # recognized keyframe (measured on the olympic4f/myungdong proxies;
+    # a 2.5 m gate rejected every genuine closure solve there).  The real
+    # verification is the post-moBA inlier ratio + absolute floor + the
+    # consistency check, so this gate only needs to reject wild garbage.
+    lc_ransac_max_t_norm: float = 30.0
     # Loop-edge acceptance requires this many post-moBA inliers AND this
     # fraction of the offered matches.  The reference's pose estimation
     # only needs >= 5 absolute inliers (slam.cpp:295-298), but its live
@@ -70,6 +72,16 @@ class SlamConfig:
     # > 90% inliers — the ratio + absolute floor separates them cleanly.
     lc_min_inliers: int = 8
     lc_min_inlier_ratio: float = 0.6
+    # Odometry-consistency sanity gate on accepted loop edges: the
+    # correction a loop edge implies (its deviation from the
+    # odometry-implied relative pose) cannot exceed plausible
+    # accumulated drift — this fraction of the path length between the
+    # two keyframes.  Catches wrong-but-self-consistent relative-pose
+    # solutions along weakly observable directions (measured on the
+    # olympic4f proxy: an edge 9.5 m off with a 40/60 refit inlier vote,
+    # vs ~1-2% actual drift).  The reference's consistency_broken check
+    # (slam.cpp:1215-1232) plays the symmetric role AFTER insertion.
+    lc_max_drift_frac: float = 0.03
 
     # Reprojection / thresholds (reference: src/parameter.h:55-62).
     inverse_depth: float = 0.1
@@ -105,6 +117,15 @@ class SlamConfig:
     robust: bool = True                  # Huber loss, delta = 1/focal_length
     rseed: int = 4
     pgo_num_iter: int = 10               # src/slam.cpp:1283
+
+    # VO failure containment (no reference analog — slam.cpp:274-298 just
+    # skips the frame and retries against the same stale keyframe, so a
+    # few sparse frames can kill tracking for the rest of the run): after
+    # this many consecutive RANSAC failures with enough common features,
+    # accept a RECOVERY keyframe using the best-effort polished motion
+    # (score below the inlier floor); windowed BA then re-estimates it
+    # jointly.  0 = reference behavior (never recover).
+    vo_fail_recovery: int = 3
 
     # The released reference never populates curr_ba_kfs, so its delete_lms
     # (src/slam.cpp:765-791) is a no-op and landmarks are never

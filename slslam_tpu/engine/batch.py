@@ -159,6 +159,7 @@ def pack_frames(frames: List[Dict[int, np.ndarray]],
 
 class BatchCarry(NamedTuple):
     kf_count: jnp.ndarray    # () int32 — accepted keyframes so far
+    fail_streak: jnp.ndarray  # () int32 consecutive VO failures
     lm_line: jnp.ndarray     # (Lp, 6) lines in current embedding frame
     lm_active: jnp.ndarray   # (Lp,) bool
     lm_twice: jnp.ndarray    # (Lp,) bool twice_observed
@@ -392,13 +393,33 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
                 ok, jnp.logical_or(ang >= cfg.kf_rot_thr,
                                    tn >= cfg.kf_tr_thr))
 
+            # failure containment (SlamConfig.vo_fail_recovery): a frame
+            # with common features whose RANSAC fell below the inlier
+            # floor counts as a failure; after R in a row, accept a
+            # recovery keyframe from the best-effort polished motion
+            # before the common tracks expire entirely
+            failed = jnp.logical_and(n_common >= min_s,
+                                     jnp.logical_not(ok))
+            if cfg.vo_fail_recovery > 0:
+                recover = jnp.logical_and(
+                    failed, c.fail_streak + 1 >= cfg.vo_fail_recovery)
+                recover = jnp.logical_and(
+                    recover, jnp.all(jnp.isfinite(res.wt)))
+                recover = jnp.logical_and(
+                    recover, jnp.linalg.norm(res.wt[3:])
+                    <= 2.0 * cfg.ransac_max_t_norm)
+                is_kf = jnp.logical_or(is_kf, recover)
+
             final_inl = jnp.logical_and(common, res.final_errors < error_thr)
             out_base = zeros_out._replace(
                 n_common=n_common, ransac_score=res.ransac_score.astype(jnp.int32),
                 n_final_inliers=jnp.sum(final_inl.astype(jnp.int32)).astype(jnp.int32))
 
             def reject_fn(c):
-                return c, out_base
+                # gated-but-tracking frames reset the streak; genuine
+                # RANSAC failures accumulate it
+                return c._replace(fail_streak=jnp.where(
+                    failed, c.fail_streak + 1, 0)), out_base
 
             def accept_fn(c):
                 wt = res.wt
@@ -522,6 +543,7 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
                     cfg.line_vn_angle_thr, cfg.extension_length)
 
                 c2 = c._replace(
+                    fail_streak=jnp.asarray(0, jnp.int32),
                     kf_count=kc_new, lm_line=lm_line, lm_active=lm_active,
                     lm_twice=lm_twice, lm_tt=lm_tt, lm_pvn=lm_pvn,
                     win_obs=win_obs, win_slot=win_slot,
@@ -693,6 +715,7 @@ class BatchSlam:
 
         carry0 = BatchCarry(
             kf_count=jnp.asarray(0, jnp.int32),
+            fail_streak=jnp.asarray(0, jnp.int32),
             lm_line=jnp.zeros((Lp, 6), self.dtype),
             lm_active=jnp.zeros((Lp,), bool),
             lm_twice=jnp.zeros((Lp,), bool),

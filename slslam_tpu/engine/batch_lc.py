@@ -109,17 +109,56 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
                       robust=cfg.robust, max_iters=cfg.max_num_iter,
                       line_param=cfg.line_param,
                       relin_iters=cfg.vo_relin_iters)
-    # gate on the POST-polish inlier set (final_errors under the moBA
-    # motion, slam.cpp:305-314): a wrong RANSAC model on few matches can
-    # carry a majority of loose "inliers" (measured: an 8-of-11 edge sat
-    # 3.5 m off), but rarely survives the refit
-    ferr = np.asarray(res.final_errors)
-    final_inl = (ferr < cfg.error_thr) & valid
-    n_final = int(np.sum(final_inl))
     wt = np.asarray(res.wt, np.float64)
+    # plausibility: the RANSAC must find SOME support and a finite model
+    # (slam.cpp:295-298's absolute floor); the decisive acceptance gate
+    # runs after the joint refit below
+    if int(res.ransac_score) < cfg.ransac_min_sample \
+            or not np.all(np.isfinite(wt)):
+        return None, int(max(res.ransac_score, 0)), n, {}
+
+    # joint refit: 2-camera FREE-LINE bundle adjustment over ALL offered
+    # pairs (robust Huber), then score against the REFIT lines.  Gating
+    # on lines triangulated from the old keyframe's single stereo pair
+    # (r2/r3a behavior) rejects genuine closures wholesale at place-
+    # recognition distances — stereo depth noise scales z^2/(b f), ~1 m
+    # per line at the 8-17 m where terminal-approach recognition fires
+    # (measured: every olympic4f/myungdong closure solve failed the 5 px
+    # gate).  The joint two-stereo-pair fit is the unbiased estimate;
+    # wrong correspondences cannot fit both views and still fail the
+    # gate.  cam0 = old kf (gauge), cam1 = the loop edge.
+    from .. import geometry as geo
+    from ..ops.residuals import lba_residual_batch
+    from ..ops.schur_ba import local_ba
+
+    cam2 = jnp.stack([jnp.zeros(6, dtype), jnp.asarray(wt, dtype)])
+    orth = geo.av_to_orth(lines)
+    obs2 = jnp.concatenate([jnp.asarray(o0, dtype), jnp.asarray(o1, dtype)])
+    oc2 = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)])
+    ol2 = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)] * 2)
+    ov2 = jnp.concatenate([jnp.asarray(valid)] * 2)
+    cfree = jnp.asarray(np.array([False, True]))
+    lfree = jnp.asarray(valid)
+    cam_out, line_out, _ = local_ba(
+        cam2, orth, obs2, oc2, ol2, ov2, cfree, lfree,
+        jnp.asarray(cfg.camera.baseline, dtype),
+        jnp.asarray(cfg.huber_delta, dtype),
+        robust=cfg.robust, max_iters=max(cfg.max_num_iter, 25))
+    wt_polished = np.asarray(cam_out, np.float64)[1]
+    if np.all(np.isfinite(wt_polished)):
+        wt = wt_polished
+
+    # acceptance: per-pair max residual across BOTH views under the
+    # refit (slam.cpp:305-314 role, on the joint estimate)
+    r = lba_residual_batch(jnp.asarray(cam_out)[oc2], line_out[ol2], obs2,
+                           cfg.camera.baseline)
+    err2 = np.abs(np.asarray(r)).max(axis=1)
+    pair_err = np.maximum(err2[:N], err2[N:])
+    final_inl = (pair_err < cfg.error_thr) & valid
+    n_final = int(np.sum(final_inl))
     min_score = max(cfg.lc_min_inliers,
                     int(np.ceil(cfg.lc_min_inlier_ratio * n)))
-    if n_final < min_score or not np.all(np.isfinite(wt)):
+    if n_final < min_score:
         return None, n_final, n, {}
     # geometrically verified pairs only: the merge feeds the global
     # refine, where one wrong identification couples two distinct 3D
@@ -128,31 +167,6 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
     # the refined ATE 4 m -> 18 m)
     inl_pairs = {nf: of for (nf, of), good in zip(pairs, final_inl[:n])
                  if good}
-
-    # polish with a 2-camera FREE-LINE bundle adjustment: the moBA above
-    # holds the old keyframe's stereo-triangulated lines fixed, so its
-    # depth noise (z^2/bf scaling) biases the loop edge by meters at
-    # street depths; re-triangulating jointly from both stereo pairs is
-    # the unbiased estimate (measured on the myungdong proxy: 1.76 m ->
-    # centimeters).  cam0 = old kf (gauge), cam1 = the loop edge.
-    from .. import geometry as geo
-    from ..ops.schur_ba import local_ba
-
-    cam2 = jnp.stack([jnp.zeros(6, dtype), jnp.asarray(wt, dtype)])
-    orth = geo.av_to_orth(lines)
-    obs2 = jnp.concatenate([jnp.asarray(o0, dtype), jnp.asarray(o1, dtype)])
-    oc2 = jnp.concatenate([jnp.zeros(N, jnp.int32), jnp.ones(N, jnp.int32)])
-    ol2 = jnp.concatenate([jnp.arange(N, dtype=jnp.int32)] * 2)
-    ov2 = jnp.asarray(np.concatenate([final_inl, final_inl]))
-    cfree = jnp.asarray(np.array([False, True]))
-    lfree = jnp.asarray(final_inl)
-    cam_out, _, _ = local_ba(cam2, orth, obs2, oc2, ol2, ov2, cfree, lfree,
-                             jnp.asarray(cfg.camera.baseline, dtype),
-                             jnp.asarray(cfg.huber_delta, dtype),
-                             robust=cfg.robust, max_iters=cfg.max_num_iter)
-    wt_polished = np.asarray(cam_out, np.float64)[1]
-    if np.all(np.isfinite(wt_polished)):
-        wt = wt_polished
     return wt, n_final, n, inl_pairs
 
 
@@ -347,6 +361,21 @@ class BatchSlamLC:
             n_candidates = len(cands)
             spans = _span_candidates(cands, cfg.ba_window_size)
             n_spans = len(spans)
+
+            # cumulative odometry path length per keyframe, for the
+            # drift-fraction sanity gate (SlamConfig.lc_max_drift_frac)
+            cum = np.concatenate([[0.0], np.cumsum([
+                np.linalg.norm(res.trajectory[g + 1].t
+                               - res.trajectory[g].t)
+                for g in range(res.kf_count - 1)])])
+
+            def _drift_ok(old_k, k, wt):
+                implied = (res.trajectory[k].inv()
+                           @ res.trajectory[old_k])
+                dev = np.linalg.norm(Pose.from_wt(wt).t - implied.wt()[3:])
+                path = max(cum[k] - cum[old_k], 1.0)
+                return dev <= cfg.lc_max_drift_frac * path
+
             for span in spans:
                 ordered = sorted(span, key=lambda c: -len(c[2]))
                 solved_new = set()
@@ -356,6 +385,8 @@ class BatchSlamLC:
                     wt, score, n, inl_pairs = _loop_relative_pose(
                         frames[kf_idx[old_k]], frames[kf_idx[k]], match,
                         cfg, self.dtype, key)
+                    if wt is not None and not _drift_ok(old_k, k, wt):
+                        wt = None
                     accepted = wt is not None
                     events.append(LoopEvent(old_k, k, n, score, wt,
                                             accepted))
@@ -396,8 +427,32 @@ class BatchSlamLC:
                              fr.items()} for fr in frames]
             else:
                 frames_m = frames
+            # the refine INITIALIZES from the stitched trajectory but its
+            # odometry prior (if the auto band detection enables it) must
+            # come from the odometry MEASUREMENTS (res.base.edges_wt),
+            # never from the PGO output: a noisy loop edge bends the
+            # stitched chain, and a prior built from it would pin the
+            # refine to the bend (measured on the itbt3f wlc proxy:
+            # 0.17 m odometry -> 0.27 m "refined"), while the weak
+            # per-edge measurement prior (sigma_t 2 m/edge) still lets a
+            # genuine loop correction — centimeters per edge spread over
+            # the chain — stand.
+            prior_c = (np.asarray(res.edges_wt, np.float64)
+                       if res.kf_count > 1 else None)
+            # ... and the accepted loop edges enter the same solve as
+            # general pose priors (ops/schur_cg.py prior_edges): the
+            # refine is then the full MAP over observations + odometry
+            # measurements + loop constraints — one noisy loop edge is a
+            # weak term among thousands, not the pose-graph-only solve's
+            # dominant constraint
+            pedges = None
+            if loop_edges:
+                pedges = (np.asarray([o for (o, _, _) in loop_edges]),
+                          np.asarray([nk for (_, nk, _) in loop_edges]),
+                          np.stack([wt for (_, _, wt) in loop_edges]))
             refined = global_refine(frames_m, res.is_kf, traj, config=cfg,
-                                    rounds=self.refine_rounds)
+                                    rounds=self.refine_rounds,
+                                    _prior_c=prior_c, prior_edges=pedges)
             traj = refined.trajectory
             t_refine = time.perf_counter() - t3
 

@@ -295,7 +295,8 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                   rounds: int = 2,
                   method: str = "auto",
                   odometry_prior="auto",
-                  _prior_c: Optional[np.ndarray] = None) -> RefineResult:
+                  _prior_c: Optional[np.ndarray] = None,
+                  prior_edges=None) -> RefineResult:
     """Globally bundle-adjust a replayed sequence.
 
     Use after BatchSlam.run (or the interactive engine) on odometry-chain
@@ -339,11 +340,12 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
             feature_ids=[], initial_cost=0.0, final_cost=0.0, iterations=0,
             num_cams=K, num_lines=0, num_obs=0)
 
-    if _prior_c is not None and method == "dense":
-        # the prior is implemented on the CG path only — never drop it
+    if (_prior_c is not None or prior_edges is not None) \
+            and method == "dense":
+        # priors are implemented on the CG path only — never drop them
         # silently (ADVICE r2)
         import warnings
-        warnings.warn("global_refine: odometry_prior requires the CG "
+        warnings.warn("global_refine: pose priors require the CG "
                       "solver; overriding method='dense' -> 'cg'")
         method = "cg"
     if method == "auto":
@@ -354,7 +356,8 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
         import jax
         small = K * L <= _DENSE_W_LIMIT and K <= _DENSE_CAM_LIMIT
         method = "dense" if (small and jax.default_backend() == "cpu"
-                             and _prior_c is None) else "cg"
+                             and _prior_c is None
+                             and prior_edges is None) else "cg"
 
     cam_free = np.ones(K, bool)
     cam_free[0] = False                      # gauge: world = KF0 camera
@@ -367,6 +370,11 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
         line_free = np.ones(L, bool)
         prior = (jnp.asarray(_prior_c, dtype)
                  if _prior_c is not None else None)
+        pedges = None
+        if prior_edges is not None:
+            ei, ej, ec = prior_edges
+            pedges = (jnp.asarray(ei, jnp.int32),
+                      jnp.asarray(ej, jnp.int32), jnp.asarray(ec, dtype))
 
         def solve(cam_in, line_in, cfree, iters):
             return global_ba_cg(
@@ -380,7 +388,8 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
                 robust=cfg.robust, max_iters=iters,
                 line_param=cfg.line_param, prior_c=prior,
                 prior_sigma_rot=cfg.refine_prior_sigma_rot,
-                prior_sigma_t=cfg.refine_prior_sigma_t)
+                prior_sigma_t=cfg.refine_prior_sigma_t,
+                prior_edges=pedges)
     else:
         Lb = bucket_for(L, cfg.line_buckets)
         Ob = 1024 * max(1, -(-O // 1024))

@@ -79,6 +79,8 @@ class Slam:
         self.curr_obs: Dict[int, np.ndarray] = {}
         self.prev_kf_obs: Dict[int, np.ndarray] = {}
         self.final_inliers: Set[int] = set()
+        self._vo_fail_streak = 0
+        self._last_failed_motion: Optional[Pose] = None
         self.ba_kfs: Dict[int, int] = {}
         self.prev_ba_kfs: Set[int] = set()
         self.match_result: Dict[int, int] = {}
@@ -282,12 +284,18 @@ class Slam:
         best_score, wt, errors = jax.device_get(
             (res.ransac_score, res.wt, res.final_errors))
 
-        if int(best_score) < cfg.ransac_min_sample:
-            self.stop_watch.tock("pose_estimation")
-            return None
         if not np.all(np.isfinite(wt)):
             # failure containment: a non-finite solve result is treated as
             # a tracking failure for this frame, never written to the map
+            self.stop_watch.tock("pose_estimation")
+            return None
+        if int(best_score) < cfg.ransac_min_sample:
+            # keep the best-effort motion for the recovery path
+            # (check_keyframe_motion; SlamConfig.vo_fail_recovery)
+            self._last_failed_motion = Pose.from_wt(
+                np.asarray(wt, np.float64))
+            self.final_inliers = {
+                comm[k] for k in range(N) if errors[k] < cfg.error_thr}
             self.stop_watch.tock("pose_estimation")
             return None
 
@@ -304,16 +312,38 @@ class Slam:
 
     def check_keyframe_motion(self) -> bool:
         """slam.cpp:223-240: VO against the previous keyframe; KF iff the
-        motion exceeds the rotation/translation thresholds."""
+        motion exceeds the rotation/translation thresholds.
+
+        Failure containment (no reference analog; mirrors
+        engine/batch.py): the reference retries the SAME stale keyframe
+        forever after a RANSAC failure, so a few sparse frames kill
+        tracking for the rest of the run.  After
+        ``vo_fail_recovery`` consecutive failures with enough common
+        features, the best-effort polished motion is accepted as a
+        recovery keyframe; windowed BA re-estimates it jointly.
+        """
         st = self.state
+        cfg = self.cfg
         metric_embedding(st, st.last_kf_id())
+        self._last_failed_motion = None
         motion = self.pose_estimation(self.prev_kf_obs, self.curr_obs)
         if motion is None:
+            if self._last_failed_motion is not None:
+                self._vo_fail_streak += 1
+                if (cfg.vo_fail_recovery > 0
+                        and self._vo_fail_streak >= cfg.vo_fail_recovery
+                        and np.linalg.norm(self._last_failed_motion.t)
+                        <= 2.0 * cfg.ransac_max_t_norm):
+                    self.curr_pose = self._last_failed_motion
+                    self._vo_fail_streak = 0
+                    return True
             return False
-        if (rotation_angle(motion.R) < self.cfg.kf_rot_thr
-                and np.linalg.norm(motion.t) < self.cfg.kf_tr_thr):
+        if (rotation_angle(motion.R) < cfg.kf_rot_thr
+                and np.linalg.norm(motion.t) < cfg.kf_tr_thr):
+            self._vo_fail_streak = 0
             return False
         self.curr_pose = motion
+        self._vo_fail_streak = 0
         return True
 
     # ------------------------------------------------------------------

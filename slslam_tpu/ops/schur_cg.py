@@ -167,9 +167,9 @@ def _eval_system_lm(cam_wt, line_orth, obs, obs_cam, w_valid, cam_perm,
 # Matrix-free Schur solve (PCG with SCHUR_JACOBI preconditioner)
 # ---------------------------------------------------------------------------
 
-def _solve_step_cg(Hcc, Hll, gc, gl, Wb, Hoff, obs_cam, cam_perm,
-                   cam_perm_valid, lam, cam_free_f, line_free_f, cg_iters,
-                   eta):
+def _solve_step_cg(Hcc, Hll, gc, gl, Wb, Hoff, edge_i, edge_j, obs_cam,
+                   cam_perm, cam_perm_valid, lam, cam_free_f, line_free_f,
+                   cg_iters, eta):
     C = Hcc.shape[0]
     L, kL = Wb.shape[:2]
     dtype = Hcc.dtype
@@ -193,8 +193,9 @@ def _solve_step_cg(Hcc, Hll, gc, gl, Wb, Hoff, obs_cam, cam_perm,
     have_prior = Hoff.shape[0] > 0
 
     def matvec(x):
-        """S x with S = Hcc_d - W Binv W^T (+ the odometry-prior
-        tridiagonal coupling), fixed cameras -> identity."""
+        """S x with S = Hcc_d - W Binv W^T (+ the pose-prior edges'
+        off-diagonal coupling — consecutive-chain AND loop edges, scatter
+        -indexed by (edge_i, edge_j)), fixed cameras -> identity."""
         xm = x * m
         y = jnp.einsum("lkab,lka->lkb", Wb, xm[obs_cam])   # (L,kL,4)
         z = jnp.sum(y, axis=1)                             # (L,4)
@@ -203,8 +204,10 @@ def _solve_step_cg(Hcc, Hll, gc, gl, Wb, Hoff, obs_cam, cam_perm,
         v = cam_sum(u.reshape(L * kL, 6))                  # (C,6)
         Sx = jnp.einsum("cab,cb->ca", Hcc_d, xm) - v
         if have_prior:
-            Sx = Sx.at[:-1].add(jnp.einsum("eab,eb->ea", Hoff, xm[1:]))
-            Sx = Sx.at[1:].add(jnp.einsum("eba,eb->ea", Hoff, xm[:-1]))
+            Sx = Sx.at[edge_i].add(
+                jnp.einsum("eab,eb->ea", Hoff, xm[edge_j]))
+            Sx = Sx.at[edge_j].add(
+                jnp.einsum("eba,eb->ea", Hoff, xm[edge_i]))
         return Sx * m + x * (1.0 - m)
 
     # rhs = -gc + W Binv gl
@@ -275,7 +278,8 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
                       cam_perm_valid, cam_free, line_free, baseline,
                       huber_delta, robust=True, max_iters=25, cg_iters=100,
                       eta=1e-2, line_param="orth", prior_c=None,
-                      prior_sigma_rot=0.02, prior_sigma_t=0.1):
+                      prior_sigma_rot=0.02, prior_sigma_t=0.1,
+                      prior_edges=None):
     """LM bundle adjustment on the bucketed layout with matrix-free Schur.
 
     Args mirror ops.schur_ba.local_ba_impl with the bucketed observation
@@ -296,6 +300,13 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
     edge: prior_sigma_rot rad / prior_sigma_t m) pins the null modes
     without fighting the observations in well-constrained ones.
 
+    prior_edges: optional (ei (E,), ej (E,), c (E, 6)) GENERAL pose
+    constraints — loop-closure edges in the deferred pipeline — fused
+    with the same sigmas.  With both priors the refine is the full MAP
+    over observations + odometry measurements + loop constraints, so a
+    noisy loop edge is one weak term among thousands instead of the
+    pose-graph-only solve's dominant one.
+
     Returns (cam', line', BAStats).
     """
     dtype = cam_wt.dtype
@@ -304,32 +315,51 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
 
+    # unify chain + general edges into one (ei, ej, c) block
+    C = cam_wt.shape[0]
+    eis, ejs, ecs = [], [], []
     if prior_c is not None:
+        eis.append(jnp.arange(C - 1, dtype=jnp.int32))
+        ejs.append(jnp.arange(1, C, dtype=jnp.int32))
+        ecs.append(jnp.asarray(prior_c, dtype))
+    if prior_edges is not None:
+        ei_x, ej_x, c_x = prior_edges
+        eis.append(jnp.asarray(ei_x, jnp.int32))
+        ejs.append(jnp.asarray(ej_x, jnp.int32))
+        ecs.append(jnp.asarray(c_x, dtype))
+    have_prior = bool(eis)
+    if have_prior:
+        edge_i = jnp.concatenate(eis)
+        edge_j = jnp.concatenate(ejs)
+        edge_c = jnp.concatenate(ecs)
         from .pose_graph import _edge_rj_batch
         # sigmas are traced (NOT static jit args): a sigma sweep
         # (tools/param_study.py) must not retrace the kernel per value
         pscale = jnp.concatenate([
             jnp.full(3, 1.0, dtype) / jnp.asarray(prior_sigma_rot, dtype),
             jnp.full(3, 1.0, dtype) / jnp.asarray(prior_sigma_t, dtype)])
+    else:
+        edge_i = jnp.zeros((0,), jnp.int32)
+        edge_j = jnp.zeros((0,), jnp.int32)
 
     def evaluate(cw, lo):
         cost, Hcc, Hll, gc, gl, Wb = _eval_system_lm(
             cw, lo, obs, obs_cam, w_valid, cam_perm, cam_perm_valid,
             cam_free_f, line_free_f, baseline, huber_delta, robust,
             line_param)
-        if prior_c is None:
+        if not have_prior:
             Hoff = jnp.zeros((0, 6, 6), dtype)
             return cost, Hcc, Hll, gc, gl, Wb, Hoff, None, None
-        r, J1, J2 = _edge_rj_batch(cw[:-1], cw[1:], prior_c)
+        r, J1, J2 = _edge_rj_batch(cw[edge_i], cw[edge_j], edge_c)
         r = r * pscale
-        J1 = J1 * pscale[None, :, None] * cam_free_f[:-1, None, None]
-        J2 = J2 * pscale[None, :, None] * cam_free_f[1:, None, None]
+        J1 = J1 * pscale[None, :, None] * cam_free_f[edge_i, None, None]
+        J2 = J2 * pscale[None, :, None] * cam_free_f[edge_j, None, None]
         cost = cost + 0.5 * jnp.sum(r * r)
-        gc = gc.at[:-1].add(jnp.einsum("eki,ek->ei", J1, r))
-        gc = gc.at[1:].add(jnp.einsum("eki,ek->ei", J2, r))
-        Hcc = Hcc.at[:-1].add(jnp.einsum("eki,ekj->eij", J1, J1))
-        Hcc = Hcc.at[1:].add(jnp.einsum("eki,ekj->eij", J2, J2))
-        Hoff = jnp.einsum("eki,ekj->eij", J1, J2)      # couples (i, i+1)
+        gc = gc.at[edge_i].add(jnp.einsum("eki,ek->ei", J1, r))
+        gc = gc.at[edge_j].add(jnp.einsum("eki,ek->ei", J2, r))
+        Hcc = Hcc.at[edge_i].add(jnp.einsum("eki,ekj->eij", J1, J1))
+        Hcc = Hcc.at[edge_j].add(jnp.einsum("eki,ekj->eij", J2, J2))
+        Hoff = jnp.einsum("eki,ekj->eij", J1, J2)     # couples (ei, ej)
         return cost, Hcc, Hll, gc, gl, Wb, Hoff, J1, J2
 
     cost0, Hcc, Hll, gc, gl, Wb, Hoff, _, _ = evaluate(cam_wt, line_orth)
@@ -359,8 +389,9 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
     def body(s):
         lam = 1.0 / s.radius
         dc, dl, damp_quad, g_dot_d, _ = _solve_step_cg(
-            s.Hcc, s.Hll, s.gc, s.gl, s.Wb, s.Hoff, obs_cam, cam_perm,
-            cam_perm_valid, lam, cam_free_f, line_free_f, cg_iters, eta)
+            s.Hcc, s.Hll, s.gc, s.gl, s.Wb, s.Hoff, edge_i, edge_j,
+            obs_cam, cam_perm, cam_perm_valid, lam, cam_free_f,
+            line_free_f, cg_iters, eta)
 
         cam_new = s.cam + dc
         line_new = s.line + dl

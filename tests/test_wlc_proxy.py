@@ -1,0 +1,94 @@
+"""wlc-configuration validation on the real-sequence proxies (VERDICT r2
+item 3): the reference ships with-loop-closure trajectories for all three
+sequences (matlab_script/traj_slslam_*_wlc.txt; closure logic
+slam.cpp:1108-1313); all three paths return to their start (terminal
+closure — the reference's main loop even stops after the first closure,
+main.cpp:78-79).  The deferred pipeline must (a) detect the terminal
+revisit, (b) place the loop edge between the path's last and first
+sections, and (c) not make the trajectory worse.
+
+itbt3f (the smallest sequence) runs in-suite; the myungdong case — the
+sequence whose closure measurably improves ATE (2.3 -> ~1.1 m) — runs
+under SLSLAM_SLOW_TESTS=1.
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from slslam_tpu.config import SlamConfig
+from slslam_tpu.engine.batch_lc import BatchSlamLC
+from slslam_tpu.loopclosure import PlaceRecognizer, VocTree, build_vocabulary
+from slslam_tpu.loopclosure.voctree import VocTreeParams
+from slslam_tpu.sim.street import real_proxy_workload
+from slslam_tpu.sim.tracks import SegmentDescriptorSource, TrackIdAssigner
+
+
+def _run_wlc(seq):
+    cfg = dataclasses.replace(SlamConfig(), compute_dtype="float64")
+    assigner = TrackIdAssigner(max_gap=5)
+    frames, poses_gt, segs, stats = real_proxy_workload(
+        seq, noise_px=0.5, seed=0, interpolate=True, assigner=assigner)
+    desc_src = SegmentDescriptorSource(assigner, len(segs), noise=0.01,
+                                       seed=7)
+    rng0 = np.random.default_rng(0)
+    samples = np.concatenate([
+        desc_src.base + rng0.standard_normal(
+            desc_src.base.shape).astype(np.float32) * 0.02
+        for _ in range(4)])
+    samples /= np.linalg.norm(samples, axis=1, keepdims=True)
+    vocab = build_vocabulary(samples, seed=0, kmeans_iters=2)
+    params = VocTreeParams(non_consider_recent=30, consider_seq_length=4,
+                           threshold=0.25, num_avg_words=30)
+    rec = PlaceRecognizer(VocTree(vocab, params), min_matches=8,
+                          min_similarity=0.8)
+    eng = BatchSlamLC(cfg, recognizer=rec, descriptor_source=desc_src,
+                      refine=True, refine_rounds=1)
+    res = eng.run(frames)
+    kfi = np.flatnonzero(np.asarray(res.base.is_kf))
+
+    def ate(traj):
+        T0 = poses_gt[kfi[0]]
+        gt = [(poses_gt[i] @ T0.inv()).inv() for i in kfi]
+        return float(np.mean([np.linalg.norm(a.t - b.t)
+                              for a, b in zip(traj, gt)]))
+
+    return res, ate
+
+
+def _check_terminal_closure(res, ate):
+    K = res.base.kf_count
+    assert res.stats["num_loop_closures"] >= 1, res.stats
+    # the loop edge must connect the terminal approach to the start
+    # section (the structure the committed wlc trajectories imply)
+    for (old_k, new_k, _wt) in [(e.old_kf, e.new_kf, e.wt_rel)
+                                for e in res.events if e.accepted]:
+        assert old_k <= 8, (old_k, new_k)
+        assert new_k >= K - 20, (old_k, new_k)
+    # merged tracks exist and the closure must not meaningfully hurt —
+    # a terminal loop edge is intrinsically noisier than odometry
+    # (BENCH.md: ~0.4 m at its ML optimum), so on a sequence whose
+    # odometry is already at noise level it may cost a few centimeters;
+    # what it must never do is the uncontained failure modes this file
+    # regression-guards (r3 history: 4 -> 18 m from unverified merges,
+    # 1.6 -> 5.4 m from a 9.5 m-wrong weak-mode edge)
+    assert res.stats["num_merged_tracks"] >= 5
+    raw = ate(res.base.trajectory)
+    assert ate(res.trajectory) <= max(1.5 * raw, raw + 0.1)
+
+
+def test_itbt3f_terminal_loop_closure():
+    res, ate = _run_wlc("itbt3f")
+    _check_terminal_closure(res, ate)
+
+
+@pytest.mark.skipif(os.environ.get("SLSLAM_SLOW_TESTS") != "1",
+                    reason="full myungdong wlc replay ~4 min; set "
+                           "SLSLAM_SLOW_TESTS=1")
+def test_myungdong_closure_improves_ate():
+    res, ate = _run_wlc("myungdong")
+    _check_terminal_closure(res, ate)
+    # myungdong's odometry drift is what the closure exists to fix
+    assert ate(res.trajectory) < 0.75 * ate(res.base.trajectory)

@@ -192,6 +192,11 @@ def main(argv=None):
     ap.add_argument("--cg-iters", type=int, default=100)
     ap.add_argument("--warm-runs", type=int, default=2)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--prior", action="store_true",
+                    help="fuse the initial estimate's odometry chain as "
+                         "a weak pose-graph prior (global_ba_cg prior_c) "
+                         "— pins the survey loop's band-visibility null "
+                         "modes, which f32 otherwise wanders in")
     args = ap.parse_args(argv)
 
     import jax
@@ -238,10 +243,21 @@ def main(argv=None):
     cam_free = np.ones(C, bool)
     cam_free[0] = False
 
+    prior_c = None
+    if args.prior:
+        from slslam_tpu.hostgeom import Pose
+        chain = [Pose.from_wt(w) for w in cam0]
+        prior_c = jnp.asarray(np.stack([
+            (chain[i + 1] @ chain[i].inv()).wt()
+            for i in range(C - 1)]), dtype)
+
     solve = jax.jit(
         lambda *a: global_ba_cg_impl(*a, robust=True,
                                      max_iters=args.max_iters,
-                                     cg_iters=args.cg_iters))
+                                     cg_iters=args.cg_iters,
+                                     prior_c=prior_c,
+                                     prior_sigma_rot=0.2,
+                                     prior_sigma_t=2.0))
     ba = (jnp.asarray(cam0, dtype), jnp.asarray(orth0, dtype),
           jnp.asarray(packed.obs, dtype),
           jnp.asarray(packed.obs_cam, jnp.int32),
