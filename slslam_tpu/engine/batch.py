@@ -635,6 +635,13 @@ class BatchSlam:
         result = eng.run(frames)           # frames: [{fid: obs8}, ...]
     """
 
+    # the compiled scan is cached GLOBALLY by (config, shapes): engine
+    # instances are cheap to construct (bench.py's LC mode builds a fresh
+    # stateful engine per run), and a per-instance cache forced a full
+    # re-trace of the scan per instance (~20 s even with the persistent
+    # XLA cache warm)
+    _runner_cache = {}
+
     def __init__(self, config: Optional[SlamConfig] = None,
                  lm_capacity: Optional[int] = None,
                  chunk_frames: Optional[int] = None):
@@ -645,11 +652,10 @@ class BatchSlam:
         if self.cfg.matmul_precision:
             jax.config.update("jax_default_matmul_precision",
                               self.cfg.matmul_precision)
-        self._runner_cache = {}
 
     def _runner(self, Wn, Lp, Om, Rm, Fmax):
-        sig = (Wn, Lp, Om, Rm, Fmax)
-        if sig not in self._runner_cache:
+        sig = (self.cfg, self.dtype, Wn, Lp, Om, Rm, Fmax)
+        if sig not in BatchSlam._runner_cache:
             base_key = jax.random.PRNGKey(self.cfg.rseed)
             step = _make_step(self.cfg, Wn, Lp, Om, Rm, Fmax, self.dtype,
                               base_key)
@@ -658,8 +664,8 @@ class BatchSlam:
             def run(carry, xs):
                 return jax.lax.scan(step, carry, xs)
 
-            self._runner_cache[sig] = run
-        return self._runner_cache[sig]
+            BatchSlam._runner_cache[sig] = run
+        return BatchSlam._runner_cache[sig]
 
     def run(self, frames: List[Dict[int, np.ndarray]],
             frame_ids: Optional[List[int]] = None,

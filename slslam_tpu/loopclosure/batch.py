@@ -29,6 +29,7 @@ tables over the compact universe U of observed leaves.
 
 from __future__ import annotations
 
+import functools
 import math
 from typing import List, Optional, Tuple
 
@@ -118,9 +119,20 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
     gauss = jnp.asarray(1.0 / math.sqrt(2 * math.pi * s * s)
                         * np.exp(-(d * d) / (2 * s * s)), jnp.float32)
 
-    IdJ = jnp.asarray(bw_id)
-    WJ = jnp.asarray(bw_w)
-    fcJ = jnp.asarray(featcnt)
+    hits = _recognition_scan(jnp.asarray(bw_id), jnp.asarray(bw_w),
+                             jnp.asarray(featcnt), gauss, U=U, ncr=ncr,
+                             A=A, w_len=w_len,
+                             threshold=float(p.threshold))
+    return np.asarray(hits, np.int32)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("U", "ncr", "A", "w_len", "threshold"))
+def _recognition_scan(IdJ, WJ, fcJ, gauss, U, ncr, A, w_len, threshold):
+    """The jitted whole-timeline scan (cached globally by shapes +
+    static params — an unjitted lax.scan re-traced per call, ~9 s per
+    bench run even with identical shapes)."""
+    K = IdJ.shape[0]
     karr = jnp.arange(K, dtype=jnp.int32)
 
     def step(carry, k):
@@ -230,7 +242,7 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
         ok = jnp.logical_and(
             jnp.logical_and(do, doc_size >= ncr),
             jnp.logical_and(doc_size >= w_len,
-                            jnp.max(window) >= p.threshold))
+                            jnp.max(window) >= threshold))
         hit_doc = jnp.where(ok, cand, -1)
 
         # --- end-of-step insertion of doc (k - ncr): scatter the doc's
@@ -247,7 +259,7 @@ def recognize_sequence(tree: VocTree, kf_descs: List[np.ndarray]
     pop0 = jnp.zeros(U, jnp.float32)
     post0 = jnp.zeros(K + 1, jnp.float32)   # the reference's empty prior
     (_, _), hits = jax.lax.scan(step, (pop0, post0), karr)
-    return np.asarray(hits, np.int32)
+    return hits
 
 
 class BatchPlaceRecognizer:

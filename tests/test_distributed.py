@@ -212,8 +212,11 @@ class TestEngineDistributed:
         from slslam_tpu.sim import (StereoLineRenderer, house_segments,
                                     wave_trajectory)
 
+        # 14 frames: enough for the window to cycle and the sharded
+        # BA/PGO paths to execute; the dominant cost is the shard_map
+        # compiles, so more frames only pad the slowest suite test
         segs = house_segments()
-        poses = wave_trajectory(num_frames=24)
+        poses = wave_trajectory(num_frames=14)
         ren = StereoLineRenderer(segs, CameraConfig(), noise_px=0.3, seed=1)
         frames = [ren.observe(T) for T in poses]
 
