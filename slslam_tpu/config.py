@@ -57,13 +57,18 @@ class SlamConfig:
     prob_free_outliers: float = 0.999
     ransac_max_t_norm: float = 1.0       # hypothesis reject (src/slam.cpp:401)
     # The |t| <= 1 gate assumes inter-frame motion; a recognized loop
-    # keyframe can legitimately sit MUCH further away — terminal-approach
-    # recognition fires while the camera is still 4-17 m from the
+    # keyframe can legitimately sit further away (place recognition
+    # resolution is one document).  The ONLINE path (engine/slam.py,
+    # reference semantics) closes loops at revisit range, so its gate
+    # stays modest:
+    lc_ransac_max_t_norm: float = 2.5
+    # The DEFERRED path (engine/batch_lc.py) accepts terminal-approach
+    # detections that fire while the camera is still 4-17 m from the
     # recognized keyframe (measured on the olympic4f/myungdong proxies;
-    # a 2.5 m gate rejected every genuine closure solve there).  The real
-    # verification is the post-moBA inlier ratio + absolute floor + the
-    # consistency check, so this gate only needs to reject wild garbage.
-    lc_ransac_max_t_norm: float = 30.0
+    # a 2.5 m gate rejected every genuine closure solve there); its real
+    # verification is the joint-refit inlier vote + the drift-fraction
+    # gate, so this bound only rejects wild garbage.
+    lc_defer_max_t_norm: float = 30.0
     # Loop-edge acceptance requires this many post-moBA inliers AND this
     # fraction of the offered matches.  The reference's pose estimation
     # only needs >= 5 absolute inliers (slam.cpp:295-298), but its live

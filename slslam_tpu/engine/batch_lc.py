@@ -103,7 +103,7 @@ def _loop_relative_pose(obs_old: Dict[int, np.ndarray],
                       jnp.asarray(cfg.camera.baseline, dtype),
                       jnp.asarray(cfg.error_thr, dtype),
                       jnp.asarray(cfg.huber_delta, dtype),
-                      max_t_norm=cfg.lc_ransac_max_t_norm,
+                      max_t_norm=cfg.lc_defer_max_t_norm,
                       num_hyp=cfg.ransac_num_hypotheses,
                       sample_size=cfg.ransac_min_sample,
                       robust=cfg.robust, max_iters=cfg.max_num_iter,

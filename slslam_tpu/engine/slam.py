@@ -812,9 +812,18 @@ class Slam:
                 continue
             if lid not in self.final_inliers:
                 continue
+            if cid == lid:
+                # self-match: the track SURVIVED since the recognized
+                # keyframe (only the quarantine bounds how old a matched
+                # doc's features can be), so current and "old" landmark
+                # are the same object — appending its obs_vec onto
+                # itself while iterating it never terminates (found as a
+                # 130 GB OOM once the r3 vocabulary fix made detections
+                # fire while old tracks were still alive)
+                continue
             lm_old = st.lms[lid]
             lm_cur = st.lms[cid]
-            for (obs_kfid, o) in lm_cur.obs_vec:
+            for (obs_kfid, o) in list(lm_cur.obs_vec):
                 lm_old.obs_vec.append((obs_kfid, o))
                 kf = st.kfs[obs_kfid]
                 if cid in kf.member_lms:
