@@ -322,8 +322,13 @@ def bench_interactive(platform, t_start):
 
 def main():
     t_start = time.perf_counter()
-    from slslam_tpu.utils.compcache import enable_persistent_cache
-    enable_persistent_cache()
+    if os.environ.get("BENCH_CPU_FALLBACK") != "1":
+        # TPU path only: XLA:CPU persistent-cache entries are AOT objects
+        # stamped with machine features and reloading them risks SIGILL
+        # (see utils/compcache.py) — the crash-recovery fallback must not
+        # add a crash vector of its own
+        from slslam_tpu.utils.compcache import enable_persistent_cache
+        enable_persistent_cache()
     import jax
 
     if os.environ.get("BENCH_CPU_FALLBACK") == "1":
