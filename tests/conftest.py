@@ -28,3 +28,24 @@ if not _REAL_DEVICE:
 # XLA:CPU AOT entries record host machine features and reloading them
 # warns "could lead to execution errors such as SIGILL" when compile
 # flags differ; the TPU surfaces (bench.py, tools/*) enable it.
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """XLA:CPU segfaults inside backend_compile once a process has
+    accumulated enough compiled executables (reproduced twice at the
+    ~55% mark of the full suite, each time in whichever test compiled
+    the next fresh kernel — LLVM JIT resource exhaustion, not a kernel
+    bug).  Dropping the compiled-executable caches at module boundaries
+    keeps the accumulation bounded; module-scoped fixtures still share
+    compiles within their module."""
+    yield
+    jax.clear_caches()
+    # engine-level compiled-scan cache holds executables too
+    try:
+        from slslam_tpu.engine.batch import BatchSlam
+        BatchSlam._runner_cache.clear()
+    except Exception:
+        pass
