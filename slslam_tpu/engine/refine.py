@@ -252,6 +252,8 @@ _DENSE_CAM_LIMIT = 128     # cameras above this -> CG (the dense reduced
 
 _BAND_SPAN_FRAC = 0.5      # a track is "long-range" if it spans >= half
 _BAND_LONG_FRAC = 0.05     # the keyframes; < 5% long tracks = band map
+_BAND_COVER_FRAC = 0.9     # ... and long tracks must be OBSERVED by
+                           # nearly every keyframe to pin the map
 
 
 def detect_band_visibility(frames, is_kf) -> Tuple[bool, float]:
@@ -261,12 +263,23 @@ def detect_band_visibility(frames, is_kf) -> Tuple[bool, float]:
     whose tracks only ever link nearby keyframes (a survey ring, an
     outward-looking orbit) have weakly observable low-frequency bending
     modes that the pure-ML solve can wander in, while maps with
-    long-range tracks (a room seen throughout, loop-merged tracks) pin
-    those modes themselves.  Measured (tools → /tmp/prior_exp r3): the
-    odometry prior costs 30x accuracy on the fully-observable house
-    replay (0.0015 → 0.046 m) and buys 2.4x on the band-visibility
-    village ring (0.0248 → 0.0105 m) — so the prior must follow the
-    structure.  Returns (is_band, fraction_of_long_tracks).
+    long-range tracks (a room seen throughout) pin those modes
+    themselves.  Measured (tools → /tmp/prior_exp r3): the odometry
+    prior costs 30x accuracy on the fully-observable house replay
+    (0.0015 → 0.046 m) and buys 2.4x on the band-visibility village
+    ring (0.0248 → 0.0105 m) — so the prior must follow the structure.
+
+    Long tracks only rigidify the stretch of trajectory that actually
+    OBSERVES them: a loop-merged revisit track spans the whole timeline
+    by id but is seen only around the two overlap regions, leaving the
+    arc between free to bend (measured on the village-orbit LC workload:
+    counting merged spans as "fully observable" turned the prior off and
+    cost 0.0199 vs 0.0105 m refined ATE — even though 70% of keyframes
+    observed a merged track, the single-visit arc still bent).  So the
+    map counts as fully-observable only if long tracks exist AND nearly
+    every keyframe (_BAND_COVER_FRAC) observes one.
+
+    Returns (is_band, fraction_of_long_tracks).
     """
     kf_frames = np.flatnonzero(np.asarray(is_kf, bool))
     K = len(kf_frames)
@@ -282,8 +295,16 @@ def detect_band_visibility(frames, is_kf) -> Tuple[bool, float]:
                         if last[f] > first[f]])
     if len(spans) == 0:
         return False, 1.0
-    frac_long = float(np.mean(spans >= _BAND_SPAN_FRAC * (K - 1)))
-    return frac_long < _BAND_LONG_FRAC, frac_long
+    span_thr = _BAND_SPAN_FRAC * (K - 1)
+    frac_long = float(np.mean(spans >= span_thr))
+    if frac_long < _BAND_LONG_FRAC:
+        return True, frac_long
+    long_fids = {fid for fid in first if last[fid] - first[fid] >= span_thr}
+    cover = np.zeros(K, bool)
+    for k, f in enumerate(kf_frames):
+        if any(fid in long_fids for fid in frames[f]):
+            cover[k] = True
+    return bool(cover.mean() < _BAND_COVER_FRAC), frac_long
 
 
 def global_refine(frames: List[Dict[int, np.ndarray]],
@@ -324,7 +345,16 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
     # revisits, which rigidify the weak modes — run the pure ML solve.
     if odometry_prior == "auto":
         odometry_prior, _ = detect_band_visibility(frames, is_kf)
-    if odometry_prior and _prior_c is None and len(trajectory) > 1:
+    if not odometry_prior:
+        # the gate governs an explicitly-passed _prior_c too: _prior_c
+        # supplies the constraint VALUES (e.g. batch_lc passes the raw
+        # odometry measurements rather than the stitched chain), but
+        # whether the prior is applied at all follows the visibility
+        # structure — fully-observable maps pay up to 30x ATE for it
+        # (0.0015 -> 0.046 m on the house replay; ADVICE r3).  Pass
+        # odometry_prior=True to force it on.
+        _prior_c = None
+    elif _prior_c is None and len(trajectory) > 1:
         _prior_c = np.stack([
             (trajectory[i + 1].inv() @ trajectory[i]).wt()
             for i in range(len(trajectory) - 1)])

@@ -81,6 +81,7 @@ class Slam:
         self.final_inliers: Set[int] = set()
         self._vo_fail_streak = 0
         self._last_failed_motion: Optional[Pose] = None
+        self._vo_fail_kind: Optional[str] = None
         self.ba_kfs: Dict[int, int] = {}
         self.prev_ba_kfs: Set[int] = set()
         self.match_result: Dict[int, int] = {}
@@ -244,9 +245,15 @@ class Slam:
         self.stop_watch.tick("pose_estimation")
         st = self.state
         cfg = self.cfg
+        # failure taxonomy for the recovery streak (mirrors engine/batch.py
+        # step: "sparse" = too few common features resets the streak,
+        # "ransac" = a genuine solve failure with enough features
+        # increments it)
+        self._vo_fail_kind = None
 
         comm = sorted(set(obs0) & set(obs1) & set(st.lms))
         if len(comm) < cfg.ransac_min_sample:
+            self._vo_fail_kind = "sparse"
             self.stop_watch.tock("pose_estimation")
             return None
 
@@ -287,11 +294,15 @@ class Slam:
         if not np.all(np.isfinite(wt)):
             # failure containment: a non-finite solve result is treated as
             # a tracking failure for this frame, never written to the map
+            # (counts toward the recovery streak like any RANSAC failure,
+            # mirroring batch.py's `failed`, but offers no motion)
+            self._vo_fail_kind = "ransac"
             self.stop_watch.tock("pose_estimation")
             return None
         if int(best_score) < cfg.ransac_min_sample:
             # keep the best-effort motion for the recovery path
             # (check_keyframe_motion; SlamConfig.vo_fail_recovery)
+            self._vo_fail_kind = "ransac"
             self._last_failed_motion = Pose.from_wt(
                 np.asarray(wt, np.float64))
             self.final_inliers = {
@@ -328,15 +339,22 @@ class Slam:
         self._last_failed_motion = None
         motion = self.pose_estimation(self.prev_kf_obs, self.curr_obs)
         if motion is None:
-            if self._last_failed_motion is not None:
+            # streak bookkeeping mirrors engine/batch.py (CLAUDE.md: the
+            # engine mirrors stay in sync): a genuine RANSAC failure with
+            # enough common features — including a non-finite solve —
+            # increments the streak; a too-sparse frame resets it.
+            if self._vo_fail_kind == "ransac":
                 self._vo_fail_streak += 1
                 if (cfg.vo_fail_recovery > 0
                         and self._vo_fail_streak >= cfg.vo_fail_recovery
+                        and self._last_failed_motion is not None
                         and np.linalg.norm(self._last_failed_motion.t)
                         <= 2.0 * cfg.ransac_max_t_norm):
                     self.curr_pose = self._last_failed_motion
                     self._vo_fail_streak = 0
                     return True
+            else:
+                self._vo_fail_streak = 0
             return False
         if (rotation_angle(motion.R) < cfg.kf_rot_thr
                 and np.linalg.norm(motion.t) < cfg.kf_tr_thr):
@@ -971,19 +989,3 @@ class Slam:
         }
 
 
-def _tt_to_pose(tt0, v, T: Pose):
-    """gc.cpp:125-138 (host)."""
-    if tt0[0] == 0 and tt0[1] == 0:
-        return np.zeros(2)
-    Ti = T.inv()
-    vn = v / np.linalg.norm(v)
-    offset = Ti.t @ vn
-    return tt0 - offset
-
-
-def _tt_from_pose(tt1, v, T: Pose):
-    """gc.cpp:140-150 (host)."""
-    Ti = T.inv()
-    vn = v / np.linalg.norm(v)
-    offset = Ti.t @ vn
-    return tt1 + offset

@@ -262,10 +262,20 @@ def _recognition_scan(IdJ, WJ, fcJ, gauss, U, ncr, A, w_len, threshold):
     return hits
 
 
+@functools.lru_cache(maxsize=None)
+def _mutual_nn_batch():
+    def one(da, db):
+        dots = da @ db.T
+        return dots, jnp.argmax(dots, axis=1), jnp.argmax(dots, axis=0)
+    return jax.jit(jax.vmap(one))
+
+
 class BatchPlaceRecognizer:
     """Drop-in for PlaceRecognizer on the replay path: the recognition
-    timeline runs as one scan; only the per-hit mutual-NN descriptor match
-    (rare) stays per-event."""
+    timeline runs as one scan, and ALL per-hit mutual-NN descriptor
+    matches run as one batched dot-product dispatch (r3 issued one
+    20-40 ms tunnel call per hit — ~33 of them dominated the lc-mode
+    recognition wall, PERF_HISTORY r3)."""
 
     def __init__(self, tree: VocTree, min_matches: int = 8,
                  min_similarity: float = 0.8):
@@ -282,17 +292,50 @@ class BatchPlaceRecognizer:
         self._online.docs = [(kf, list(f), np.asarray(d, np.float32))
                              for kf, f, d in zip(kf_ids, feat_ids_list,
                                                  descs)]
-        out = []
+        out: List[Optional[Tuple[int, dict]]] = [None] * len(kf_ids)
+        pairs = [(k, int(h)) for k, h in enumerate(hits)
+                 if 0 <= int(h) < len(kf_ids)
+                 and len(descs[k]) and len(descs[int(h)])]
         for k, h in enumerate(hits):
-            if h < 0 or h >= len(kf_ids):
-                out.append(None)
-                continue
+            # empty-descriptor hits keep the online path's stats exactly
+            if 0 <= int(h) < len(kf_ids) and (k, int(h)) not in pairs:
+                self.stats["queries"] += 1
+                self.stats["filter_hits"] += 1
+                self.stats["match_fails"] += 1
+        if not pairs:
+            return out
+
+        H = len(pairs)
+        Hb = _bucket(H, buckets=(1, 2, 4, 8, 16, 32, 64, 128, 256))
+        A = _bucket(max(len(descs[k]) for k, _ in pairs),
+                    buckets=(32, 64, 128, 256, 512, 1024))
+        B = _bucket(max(len(descs[h]) for _, h in pairs),
+                    buckets=(32, 64, 128, 256, 512, 1024))
+        da = np.zeros((Hb, A, DESC_DIM), np.float32)
+        db = np.zeros((Hb, B, DESC_DIM), np.float32)
+        for i, (k, h) in enumerate(pairs):
+            da[i, :len(descs[k])] = np.asarray(descs[k],
+                                               np.float32)[:, :DESC_DIM]
+            db[i, :len(descs[h])] = np.asarray(descs[h],
+                                               np.float32)[:, :DESC_DIM]
+        dots, a2b, b2a = jax.device_get(_mutual_nn_batch()(
+            jnp.asarray(da), jnp.asarray(db)))
+
+        min_sim = self._online.min_similarity
+        for i, (k, h) in enumerate(pairs):
             self.stats["queries"] += 1
             self.stats["filter_hits"] += 1
-            m = self._online._match(int(h), feat_ids_list[k], descs[k])
-            if m is None:
+            old_kf, old_ids, _ = self._online.docs[h]
+            fi = feat_ids_list[k]
+            match_result = {}
+            for a in range(len(descs[k])):
+                b = int(a2b[i, a])
+                if b < len(old_ids) and int(b2a[i, b]) == a \
+                        and dots[i, a, b] >= min_sim:
+                    match_result[fi[a]] = old_ids[b]
+            if len(match_result) < self._online.min_matches:
                 self.stats["match_fails"] += 1
             else:
                 self.stats["detections"] += 1
-            out.append(m)
+                out[k] = (old_kf, match_result)
         return out

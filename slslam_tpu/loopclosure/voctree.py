@@ -64,7 +64,13 @@ def _bucket(n, buckets=_FEAT_BUCKETS):
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    # past the last bucket: round up to the next power of two rather than
+    # silently capping (a silent cap made callers' fixed-shape scatters
+    # raise broadcast errors at high feature counts; ADVICE r3)
+    b = buckets[-1]
+    while b < n:
+        b *= 2
+    return b
 
 
 @dataclasses.dataclass

@@ -35,16 +35,31 @@ def _build() -> bool:
     lock = _LIB_PATH + ".lock"
     fd = None
     try:
+        import fcntl
+        # flock (not O_EXCL) so the lock dies with the process: a builder
+        # killed mid-compile must not orphan the lock forever (ADVICE r3).
+        # The lock file itself is left in place between builds.
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # another process is building: wait for it rather than race
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except OSError:
+            # another process is building: wait for its lock, then use
+            # whatever it produced
             import time
-            for _ in range(150):
-                if not os.path.exists(lock):
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                     break
-                time.sleep(0.1)
-            return os.path.exists(_LIB_PATH)
+                except OSError:
+                    time.sleep(0.1)
+            else:
+                return os.path.exists(_LIB_PATH)
+            # holder finished (or died): fall through holding the lock —
+            # re-check staleness so a completed build is not redone
+            if os.path.exists(_LIB_PATH) and os.path.getmtime(
+                    _LIB_PATH) >= os.path.getmtime(_SRC_PATH):
+                return True
         subprocess.run(
             ["g++", "-O2", "-shared", "-fPIC", "-o", tmp, _SRC_PATH],
             check=True, capture_output=True, timeout=120)
@@ -59,11 +74,7 @@ def _build() -> bool:
             except OSError:
                 pass
         if fd is not None:
-            os.close(fd)
-            try:
-                os.remove(lock)
-            except OSError:
-                pass
+            os.close(fd)   # closing releases the flock
 
 
 def _load():

@@ -86,6 +86,17 @@ def lba_residual_jac(cam_wt, line_param4, obs, baseline, line_param="orth"):
     return r, j_cam, j_line
 
 
+def lba_residual_jac_cam(cam_wt, line_param4, obs, baseline,
+                         line_param="orth"):
+    """Residual plus camera Jacobian only — the motion-only BA variant
+    (slam.cpp:578-675: all lines fixed), which skips the line-Jacobian
+    HLO entirely."""
+    r = lba_residual(cam_wt, line_param4, obs, baseline, line_param)
+    j_cam = jax.jacfwd(lba_residual, argnums=0)(cam_wt, line_param4, obs,
+                                                baseline, line_param)
+    return r, j_cam
+
+
 def score_error(obs, R, t, line_av, baseline):
     """RANSAC scoring error (slam.cpp:691-726). Scalar per observation.
 
@@ -129,6 +140,18 @@ def _jac_batch_for(line_param):
 def lba_residual_jac_batch(cam_wt, line_param4, obs, baseline,
                            line_param="orth"):
     return _jac_batch_for(line_param)(cam_wt, line_param4, obs, baseline)
+
+
+@functools.lru_cache(maxsize=None)
+def _jac_cam_batch_for(line_param):
+    fn = functools.partial(lba_residual_jac_cam, line_param=line_param)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None))
+
+
+def lba_residual_jac_cam_batch(cam_wt, line_param4, obs, baseline,
+                               line_param="orth"):
+    return _jac_cam_batch_for(line_param)(cam_wt, line_param4, obs,
+                                          baseline)
 
 
 # residual-only batch, jitted: callers that only score (e.g. the refine

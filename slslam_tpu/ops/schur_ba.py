@@ -39,7 +39,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from .residuals import lba_residual_jac_batch
+from .residuals import (lba_residual_batch, lba_residual_jac_batch,
+                        lba_residual_jac_cam_batch)
 
 _MIN_DIAG = 1e-6
 _MAX_DIAG = 1e32
@@ -152,6 +153,61 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
     return cost, Hcc, Hll, gc, gl, W
 
 
+def _eval_pose_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
+                      cam_free_f, baseline, huber_delta, robust,
+                      line_param="orth", assembly="scatter"):
+    """Camera-only normal equations: the motion-only-BA special case
+    (slam.cpp:578-675 — every line fixed).  Numerically identical to
+    _eval_system with line_free_f = 0 (all line terms vanish exactly),
+    but the line-Jacobian / coupling / Schur HLO never exists — the
+    dominant compile-time term of the batch engine's per-frame moBA."""
+    C = cam_wt.shape[0]
+    cw = cam_wt[obs_cam]
+    lo = line_orth[obs_line]
+    r, Jc = lba_residual_jac_cam_batch(cw, lo, obs, baseline,
+                                       line_param=line_param)
+    w_r, cost_i = _robust_weights(r, huber_delta, robust)
+    cost = jnp.sum(jnp.where(w_valid > 0, cost_i, 0.0))
+    valid = w_valid[:, None] > 0
+    scale = w_r[:, None]
+    r = jnp.where(valid, r * scale, 0.0)
+    Jc = jnp.where(valid[..., None],
+                   Jc * scale[..., None] * cam_free_f[obs_cam][:, None, None],
+                   0.0)
+    A = jnp.einsum("oki,okj->oij", Jc, Jc)          # (O,6,6)
+    gc_o = jnp.einsum("oki,ok->oi", Jc, r)          # (O,6)
+    if assembly == "onehot":
+        oc1h = jax.nn.one_hot(obs_cam, C, dtype=r.dtype)
+        Hcc = jnp.einsum("oc,oij->cij", oc1h, A)
+        gc = oc1h.T @ gc_o
+    else:
+        Hcc = jnp.zeros((C, 6, 6), r.dtype).at[obs_cam].add(A)
+        gc = jnp.zeros((C, 6), r.dtype).at[obs_cam].add(gc_o)
+    return cost, Hcc, gc
+
+
+def _solve_step_pose(Hcc, gc, lam, cam_free_f):
+    """Damped camera-block solve — _solve_step with every line fixed
+    (block-diagonal reduced system, solved batched per camera)."""
+    dtype = Hcc.dtype
+    diag_c = jnp.clip(jnp.diagonal(Hcc, axis1=-2, axis2=-1),
+                      _MIN_DIAG, _MAX_DIAG)                  # (C,6)
+    eye6 = jnp.eye(6, dtype=dtype)
+    Hcc_d = Hcc + lam * diag_c[..., None] * eye6
+    f = cam_free_f[:, None, None]
+    Hm = Hcc_d * f + eye6 * (1.0 - f)      # fixed cameras: identity block
+    rhs = -gc * cam_free_f[:, None]
+    d = jnp.sqrt(jnp.clip(jnp.diagonal(Hm, axis1=-2, axis2=-1),
+                          1e-12, None))
+    di = 1.0 / d
+    Hn = Hm * di[..., :, None] * di[..., None, :]
+    dc = jnp.linalg.solve(Hn, (rhs * di)[..., None])[..., 0] * di
+    dc = dc * cam_free_f[:, None]
+    damp_quad = lam * jnp.sum(diag_c * dc * dc)
+    g_dot_d = jnp.sum(gc * dc)
+    return dc, damp_quad, g_dot_d
+
+
 def _inv4_equilibrated(Hll_d):
     """Jacobi-equilibrated batched 4x4 inverse.
 
@@ -223,7 +279,7 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
 def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                   cam_free, line_free, baseline, huber_delta,
                   robust=True, max_iters=10,
-                  line_param="orth", assembly=None):
+                  line_param="orth", assembly=None, pose_only=False):
     """Run windowed local BA.  All shapes static (padded).
 
     Args:
@@ -238,6 +294,10 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
       baseline, huber_delta: scalars.
       robust: apply Huber loss (FLAGS_robust, main.cpp:27).
       max_iters: LM iteration cap (FLAGS_max_num_iter, main.cpp:23).
+      pose_only: static; every line is treated as fixed (line_free
+        ignored) and the line-Jacobian/Schur machinery is never built —
+        the motion-only-BA instantiation (slam.cpp:578-675).  Identical
+        math to the full path with line_free all-False.
 
     Returns:
       (cam_wt', line_orth', BAStats)
@@ -257,29 +317,43 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
 
+    # The full system (residuals + Jacobians + assembly) is evaluated
+    # INSIDE the loop body only, at the current accepted point; the trial
+    # point is scored with a residual-only cost.  One instance of the
+    # dominant evaluate-HLO instead of two (the r3 layout evaluated the
+    # full system at the trial point and carried H across iterations —
+    # same accepted-step sequence, but the big HLO appeared both before
+    # and inside the loop, and the (C,L,6,4) coupling W sat in the carry).
     def evaluate(cw, lo):
+        if pose_only:
+            return _eval_pose_system(cw, lo, obs, obs_cam, obs_line,
+                                     w_valid, cam_free_f, baseline,
+                                     huber_delta, robust,
+                                     line_param=line_param,
+                                     assembly=assembly)
         return _eval_system(cw, lo, obs, obs_cam, obs_line, w_valid,
                             cam_free_f, line_free_f, baseline, huber_delta,
                             robust, line_param=line_param,
                             assembly=assembly)
 
-    cost0, Hcc, Hll, gc, gl, W = evaluate(cam_wt, line_orth)
+    def cost_only(cw, lo):
+        r = lba_residual_batch(cw[obs_cam], lo[obs_line], obs, baseline,
+                               line_param=line_param)
+        _, cost_i = _robust_weights(r, huber_delta, robust)
+        return jnp.sum(jnp.where(w_valid > 0, cost_i, 0.0))
+
+    cost0 = cost_only(cam_wt, line_orth)
 
     class _S(NamedTuple):
         cam: jnp.ndarray
         line: jnp.ndarray
         cost: jnp.ndarray
-        Hcc: jnp.ndarray
-        Hll: jnp.ndarray
-        gc: jnp.ndarray
-        gl: jnp.ndarray
-        W: jnp.ndarray
         radius: jnp.ndarray
         decrease_factor: jnp.ndarray
         it: jnp.ndarray
         done: jnp.ndarray
 
-    state = _S(cam_wt, line_orth, cost0, Hcc, Hll, gc, gl, W,
+    state = _S(cam_wt, line_orth, cost0,
                jnp.asarray(_INIT_RADIUS, dtype), jnp.asarray(2.0, dtype),
                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
@@ -288,12 +362,19 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
 
     def body(s):
         lam = 1.0 / s.radius
-        dc, dl, damp_quad, g_dot_d = _solve_step(
-            s.Hcc, s.Hll, s.gc, s.gl, s.W, lam, cam_free_f, line_free_f)
+        if pose_only:
+            _, Hcc, gc = evaluate(s.cam, s.line)
+            dc, damp_quad, g_dot_d = _solve_step_pose(Hcc, gc, lam,
+                                                      cam_free_f)
+            dl = jnp.zeros_like(s.line)
+        else:
+            _, Hcc, Hll, gc, gl, W = evaluate(s.cam, s.line)
+            dc, dl, damp_quad, g_dot_d = _solve_step(
+                Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f)
 
         cam_new = s.cam + dc
         line_new = s.line + dl
-        cost_new, Hcc_n, Hll_n, gc_n, gl_n, W_n = evaluate(cam_new, line_new)
+        cost_new = cost_only(cam_new, line_new)
 
         # model_cost_change = 1/2 d^T (lam D^2 d - g)  (see module docstring)
         model_change = 0.5 * (damp_quad - g_dot_d)
@@ -323,11 +404,6 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
             jnp.where(accept, cam_new, s.cam),
             jnp.where(accept, line_new, s.line),
             jnp.where(accept, cost_new, s.cost),
-            jnp.where(accept, Hcc_n, s.Hcc),
-            jnp.where(accept, Hll_n, s.Hll),
-            jnp.where(accept, gc_n, s.gc),
-            jnp.where(accept, gl_n, s.gl),
-            jnp.where(accept, W_n, s.W),
             radius, dec, s.it + 1, converged)
 
     out = jax.lax.while_loop(cond, body, state)
@@ -337,7 +413,7 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
 
 local_ba = jax.jit(local_ba_impl, static_argnames=("robust", "max_iters",
                                                    "line_param",
-                                                   "assembly"))
+                                                   "assembly", "pose_only"))
 
 
 # ---------------------------------------------------------------------------

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .residuals import lba_residual_jac_batch
+from .residuals import lba_residual_batch, lba_residual_jac_batch
 from .schur_ba import (BAStats, _INIT_RADIUS, _MIN_DIAG, _MAX_DIAG,
                        _MIN_RELATIVE_DECREASE, _inv4_equilibrated,
                        _robust_weights, _tolerances)
@@ -362,24 +362,38 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
         Hoff = jnp.einsum("eki,ekj->eij", J1, J2)     # couples (ei, ej)
         return cost, Hcc, Hll, gc, gl, Wb, Hoff, J1, J2
 
-    cost0, Hcc, Hll, gc, gl, Wb, Hoff, _, _ = evaluate(cam_wt, line_orth)
+    # Trial points are scored with a residual-only cost; the full system
+    # (Jacobians + blocks) is evaluated once per iteration at the current
+    # accepted point, INSIDE the loop body only — one instance of the
+    # dominant evaluate-HLO instead of two, and no (L,kL,6,4) Wb in the
+    # while-loop carry (same restructure as ops/schur_ba.py; compile wall
+    # and HBM both shrink, the accepted-step sequence is unchanged).
+    def cost_only(cw, lo):
+        L, kL = obs.shape[:2]
+        r = lba_residual_batch(cw[obs_cam.reshape(-1)],
+                               jnp.repeat(lo, kL, axis=0),
+                               obs.reshape(-1, 8), baseline,
+                               line_param=line_param)
+        _, cost_i = _robust_weights(r, huber_delta, robust)
+        cost = jnp.sum(jnp.where(w_valid.reshape(-1) > 0, cost_i, 0.0))
+        if have_prior:
+            from .pose_graph import edge_residual
+            re = jax.vmap(edge_residual)(cw[edge_i], cw[edge_j], edge_c)
+            cost = cost + 0.5 * jnp.sum((re * pscale) ** 2)
+        return cost
+
+    cost0 = cost_only(cam_wt, line_orth)
 
     class _S(NamedTuple):
         cam: jnp.ndarray
         line: jnp.ndarray
         cost: jnp.ndarray
-        Hcc: jnp.ndarray
-        Hll: jnp.ndarray
-        gc: jnp.ndarray
-        gl: jnp.ndarray
-        Wb: jnp.ndarray
-        Hoff: jnp.ndarray
         radius: jnp.ndarray
         decrease_factor: jnp.ndarray
         it: jnp.ndarray
         done: jnp.ndarray
 
-    state = _S(cam_wt, line_orth, cost0, Hcc, Hll, gc, gl, Wb, Hoff,
+    state = _S(cam_wt, line_orth, cost0,
                jnp.asarray(_INIT_RADIUS, dtype), jnp.asarray(2.0, dtype),
                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
@@ -388,15 +402,15 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
 
     def body(s):
         lam = 1.0 / s.radius
+        _, Hcc, Hll, gc, gl, Wb, Hoff, _, _ = evaluate(s.cam, s.line)
         dc, dl, damp_quad, g_dot_d, _ = _solve_step_cg(
-            s.Hcc, s.Hll, s.gc, s.gl, s.Wb, s.Hoff, edge_i, edge_j,
+            Hcc, Hll, gc, gl, Wb, Hoff, edge_i, edge_j,
             obs_cam, cam_perm, cam_perm_valid, lam, cam_free_f,
             line_free_f, cg_iters, eta)
 
         cam_new = s.cam + dc
         line_new = s.line + dl
-        (cost_new, Hcc_n, Hll_n, gc_n, gl_n, Wb_n, Hoff_n, _,
-         _) = evaluate(cam_new, line_new)
+        cost_new = cost_only(cam_new, line_new)
 
         model_change = 0.5 * (damp_quad - g_dot_d)
         rho = (s.cost - cost_new) / jnp.maximum(model_change, 1e-300)
@@ -421,12 +435,6 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
         return _S(jnp.where(accept, cam_new, s.cam),
                   jnp.where(accept, line_new, s.line),
                   jnp.where(accept, cost_new, s.cost),
-                  jnp.where(accept, Hcc_n, s.Hcc),
-                  jnp.where(accept, Hll_n, s.Hll),
-                  jnp.where(accept, gc_n, s.gc),
-                  jnp.where(accept, gl_n, s.gl),
-                  jnp.where(accept, Wb_n, s.Wb),
-                  jnp.where(accept, Hoff_n, s.Hoff),
                   radius, dec, s.it + 1, converged)
 
     out = jax.lax.while_loop(cond, body, state)
