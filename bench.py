@@ -101,14 +101,36 @@ def bench_batch(platform, t_start):
         kf_rot_thr=1e-9, kf_tr_thr=1e-9)
 
     # cold run: jit compile + execute (compile dominated; cached by XLA —
-    # and by the persistent on-disk cache across processes)
+    # and by the persistent on-disk cache across processes).  The refine
+    # kernel's shapes depend only on (frames, is_kf), and this workload's
+    # keyframe gates are ~0 so every frame becomes a keyframe — compile
+    # it SPECULATIVELY on a thread (identity trajectory, result
+    # discarded) while the main thread compiles the replay scan; the real
+    # refine then hits the executable cache.  If the prediction missed
+    # (some frame skipped), the real call just compiles its own shape.
+    import threading
+
+    import numpy as np
+
     frames, poses_gt = _workload(cfg, num_frames, seed=seeds[0])
     eng = BatchSlam(cfg)
+
+    def _warm_refine():
+        from slslam_tpu.hostgeom import Pose
+        try:
+            global_refine(frames, np.ones(len(frames), bool),
+                          [Pose() for _ in frames], config=cfg)
+        except Exception:
+            pass
+
     t0 = time.perf_counter()
+    warm_t = threading.Thread(target=_warm_refine, daemon=True)
+    warm_t.start()
     res = eng.run(frames)
     if res.kf_count == 0:
         emit(0.0, 0.0, {"error": "no keyframes", "platform": platform})
         return
+    warm_t.join()
     ref = global_refine(frames, res.is_kf, res.trajectory, config=cfg)
     cold_s = time.perf_counter() - t0
 

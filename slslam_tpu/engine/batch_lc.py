@@ -59,6 +59,8 @@ class LoopEvent:
     wt_rel: Optional[np.ndarray]   # (6,) T_new * T_old^-1, None if rejected
     accepted: bool            # True only for edges actually fed to PGO
     deduped: bool = False     # True: span-mate of an edge, never solved
+    joint: bool = False       # True: from the odometry-anchored joint
+                              # span re-solve (_span_joint_resolve)
 
 
 @dataclasses.dataclass
@@ -239,6 +241,351 @@ def _solve_span_round(cands, frames, kf_idx, cfg: SlamConfig, dtype,
                      if good}
         results[ci] = (wt, n_final, n, inl_pairs)
     return results
+
+
+def _span_joint_resolve(span, frames, kf_idx, traj, cfg: SlamConfig,
+                        dtype, init_edge=None):
+    """Joint re-solve of a span whose representatives were all rejected
+    (VERDICT r3 item 3 / olympic4f).
+
+    With ``init_edge=(old_k, k, wt)`` (edge-polish mode): the span
+    already has a verified 2-view edge; stages 1-2 are skipped and the
+    joint BA polishes from that transform — upgrading every accepted
+    span's edge from the weak-mode-prone 2-view estimate to the
+    multi-keyframe joint one.
+
+    The 2-camera representative solve fails on weak-mode spans: one
+    stereo pair per side leaves a translation direction nearly
+    unobservable, and the solved edge lands meters off along it (the
+    olympic4f terminal edge was 9.5 m wrong despite a 40/60 refit inlier
+    vote, so the drift gate — correctly — rejected it; PERF_HISTORY r3).
+    Recipe (each stage measured on the olympic4f proxy, r4):
+
+      1. the matched lines are reconstructed INDEPENDENTLY in each
+         group — a lines-only multi-view BA with cameras fixed at the
+         trusted in-group odometry (the groups each span several
+         keyframes, so line depth comes from meters of baseline instead
+         of the 0.12 m stereo pair);
+      2. the two line clouds are aligned by RANSAC: direction Wahba +
+         closest-point projector least-squares on sampled line triples,
+         sign-disambiguated by the odometry rotation, every candidate
+         scored by IMAGE-SPACE reprojection inliers of the new-side
+         observations against the old cloud in one batched residual
+         call.  (A direct joint BA from the odometry init stalls in a
+         split-the-difference local minimum — the free lines absorb the
+         misalignment under Huber's flat tails — and a weak
+         cross-group odometry prior pins the solve AT odometry, because
+         6+ m of genuine drift costs more prior than the Huber-crushed
+         misfit saves: measured n_final 20-30/72 for every such
+         variant vs 49/72 for this recipe, whose best alignment landed
+         0.97 m from ground truth);
+      3. a joint BA over all cameras + free lines polishes from the
+         aligned init, with STRONG priors on the in-group odometry
+         edges and NO cross-group prior; the acceptance vote (per-pair
+         reprojection across both groups) and the caller's drift gate
+         then decide.
+
+    Returns (old_rep, new_rep, wt, inl_pairs, n_final, n) or None.
+    """
+    from ..hostgeom import av_to_orth_np, orth_to_av_np
+    from ..ops.residuals import lba_residual_batch
+    from ..ops.schur_ba import local_ba
+    from ..ops.schur_cg import global_ba_cg, pack_line_major
+
+    old_ks = sorted({c[1] for c in span})
+    new_ks = sorted({c[0] for c in span})
+    cams = old_ks + new_ks
+    cam_of = {g: i for i, g in enumerate(cams)}
+    gauge = traj[old_ks[0]]
+
+    # pose of camera g (world->cam) in the gauge frame
+    cam_wt = np.stack([(traj[g].inv() @ gauge).wt() for g in cams])
+
+    line_ids: List[int] = []
+    line_of: Dict[int, int] = {}
+    line_first: Dict[int, Tuple[int, np.ndarray]] = {}  # of -> (cam, obs8)
+    rows, ocam, olin = [], [], []
+    pair_rows: Dict[Tuple[int, int], List[int]] = {}    # (nf, of) -> rows
+    row_of: Dict[Tuple[int, int, int], int] = {}        # (cam, fid, line)
+    for (k, old_k, match) in span:
+        fr_new, fr_old = frames[kf_idx[k]], frames[kf_idx[old_k]]
+        for nf, of in match.items():
+            if nf not in fr_new or of not in fr_old:
+                continue
+            li = line_of.get(of)
+            if li is None:
+                li = line_of[of] = len(line_ids)
+                line_ids.append(of)
+                line_first[of] = (old_k, fr_old[of])
+            for g, fid, o8 in ((old_k, of, fr_old[of]),
+                               (k, nf, fr_new[nf])):
+                key = (g, fid, li)
+                ri = row_of.get(key)
+                if ri is None:
+                    ri = row_of[key] = len(rows)
+                    rows.append(o8)
+                    ocam.append(cam_of[g])
+                    olin.append(li)
+                pair_rows.setdefault((nf, of), []).append(ri)
+    n = len(pair_rows)
+    if n < max(cfg.lc_min_inliers, cfg.ransac_min_sample):
+        return None
+
+    # device shapes are padded to buckets throughout, so repeated spans
+    # reuse a handful of compiled kernels instead of one per span shape
+    C, L = len(cams), len(line_ids)
+    Lb = bucket_for(L, cfg.line_buckets)
+
+    # ---- stage 1: per-group multi-view line fits (cams fixed at the
+    # in-group odometry, lines free) ----
+    def fit_group(grp, side):
+        gidx = {g: i for i, g in enumerate(grp)}
+        loc = traj[grp[0]]
+        Gb = bucket_for(len(grp), cfg.cam_buckets)
+        cw = np.zeros((Gb, 6))
+        cw[:len(grp)] = np.stack([(traj[g].inv() @ loc).wt()
+                                  for g in grp])
+        rws, oc_l, ol_l = [], [], []
+        seen_go = set()
+        for (k, old_k, match) in span:
+            fr_new, fr_old = frames[kf_idx[k]], frames[kf_idx[old_k]]
+            for nf, of in match.items():
+                if nf not in fr_new or of not in fr_old:
+                    continue
+                li = line_of[of]
+                g, o8 = ((old_k, fr_old[of]) if side == "old"
+                         else (k, fr_new[nf]))
+                if (g, li) in seen_go:
+                    continue
+                seen_go.add((g, li))
+                rws.append(o8)
+                oc_l.append(gidx[g])
+                ol_l.append(li)
+        rws = np.asarray(rws).reshape(-1, 8)
+        oc_l = np.asarray(oc_l, np.int32)
+        ol_l = np.asarray(ol_l, np.int32)
+        cnt = np.bincount(ol_l, minlength=Lb)
+        init = np.zeros((Lb, 6))
+        init[:, 5] = 1.0
+        tri = np.asarray(triangulate_lines(
+            jnp.asarray(rws, dtype), cfg.camera.baseline,
+            inverse_depth=cfg.inverse_depth), np.float64)
+        seenl = set()
+        for i in range(len(rws)):
+            li = int(ol_l[i])
+            if li in seenl:
+                continue
+            seenl.add(li)
+            P = Pose.from_wt(cw[oc_l[i]]).inv()
+            init[li, :3] = P.R @ tri[i, :3] + P.t
+            init[li, 3:] = P.R @ tri[i, 3:]
+        lfree = cnt > 0
+        Ob = bucket_for(len(rws), cfg.obs_buckets)
+        rws_p = np.zeros((Ob, 8))
+        rws_p[:len(rws)] = rws
+        oc_p = np.zeros(Ob, np.int32)
+        oc_p[:len(rws)] = oc_l
+        ol_p = np.zeros(Ob, np.int32)
+        ol_p[:len(rws)] = ol_l
+        ov_p = np.zeros(Ob, bool)
+        ov_p[:len(rws)] = True
+        _, line_out, _ = local_ba(
+            jnp.asarray(cw, dtype),
+            jnp.asarray(av_to_orth_np(init), dtype),
+            jnp.asarray(rws_p, dtype), jnp.asarray(oc_p),
+            jnp.asarray(ol_p), jnp.asarray(ov_p),
+            jnp.asarray(np.zeros(Gb, bool)), jnp.asarray(lfree),
+            jnp.asarray(cfg.camera.baseline, dtype),
+            jnp.asarray(cfg.huber_delta, dtype),
+            robust=True, max_iters=max(cfg.max_num_iter, 25))
+        return orth_to_av_np(np.asarray(line_out, np.float64)), cnt
+
+    Qg = {g: traj[g].inv() @ traj[new_ks[0]] for g in new_ks}
+    M_odo = traj[new_ks[0]].inv() @ traj[old_ks[0]]
+
+    if init_edge is not None:
+        # edge-polish mode: the span already has a verified 2-view edge;
+        # skip the cloud fits + RANSAC and polish from it directly
+        e_old, e_new, e_wt = init_edge
+        S_best = (Qg[e_new].inv() @ Pose.from_wt(np.asarray(e_wt))
+                  @ (traj[e_old].inv() @ gauge))
+    else:
+        lines_A, cntA = fit_group(old_ks, "old")
+        lines_B, cntB = fit_group(new_ks, "new")
+
+        # ---- stage 2: RANSAC line-cloud alignment X_B = S(X_A) ----
+        nzA = np.linalg.norm(lines_A[:, 3:], axis=1)
+        nzB = np.linalg.norm(lines_B[:, 3:], axis=1)
+        usable = (cntA > 0) & (cntB > 0) & (nzA > 1e-9) & (nzB > 1e-9)
+        vA = lines_A[:, 3:] / np.maximum(nzA, 1e-30)[:, None]
+        vB = lines_B[:, 3:] / np.maximum(nzB, 1e-30)[:, None]
+        aA, aB = lines_A[:, :3], lines_B[:, :3]
+
+        def fit_S(idx, w=None):
+            if w is None:
+                w = np.ones(len(idx))
+            R = M_odo.R
+            t = M_odo.t
+            for _ in range(2):
+                s = np.sign(np.sum(np.einsum("ij,nj->ni", R, vA[idx])
+                                   * vB[idx], axis=1))
+                s[s == 0] = 1.0
+                Mw = np.einsum("n,ni,nj->ij", w * s, vB[idx], vA[idx])
+                try:
+                    U, _, Vt = np.linalg.svd(Mw)
+                except np.linalg.LinAlgError:
+                    return None
+                R = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
+                P = (np.eye(3)[None]
+                     - vB[idx][:, :, None] * vB[idx][:, None, :])
+                A_t = np.einsum("n,nij->ij", w, P)
+                b_t = np.einsum("n,nij,nj->i", w, P,
+                                aB[idx] - np.einsum("ij,nj->ni", R,
+                                                    aA[idx]))
+                try:
+                    t = np.linalg.solve(A_t, b_t)
+                except np.linalg.LinAlgError:
+                    return None
+            if not (np.isfinite(t).all() and np.isfinite(R).all()):
+                return None
+            return Pose(R, t)
+
+        strong = np.flatnonzero(usable & (cntA >= 2) & (cntB >= 2))
+        pool = strong if len(strong) >= 3 else np.flatnonzero(usable)
+        if len(pool) < 3:
+            return None
+        rng = np.random.default_rng(cfg.rseed ^ (0x5A11 + new_ks[0]))
+        cands_S = []
+        for _ in range(256):
+            S = fit_S(rng.choice(pool, 3, replace=False))
+            if S is not None:
+                cands_S.append(S)
+        S = fit_S(pool)
+        if S is not None:
+            cands_S.append(S)
+        cands_S.append(M_odo)        # odometry-implied as the fallback
+        J = len(cands_S)
+
+        # score every candidate by new-side image-space inliers vs cloud
+        # A (one batched residual dispatch, padded to a bucket)
+        new_rows = [ri for ri in range(len(rows))
+                    if ocam[ri] >= len(old_ks)]
+        Rn = len(new_rows)
+        cw_all = np.zeros((J, Rn, 6))
+        for j, Sc in enumerate(cands_S):
+            for r_i, ri in enumerate(new_rows):
+                cw_all[j, r_i] = (Qg[cams[ocam[ri]]] @ Sc).wt()
+        la = av_to_orth_np(lines_A)[
+            np.asarray([olin[ri] for ri in new_rows])]
+        obs_n = np.asarray([rows[ri] for ri in new_rows])
+        tot = J * Rn
+        totb = -(-tot // 4096) * 4096
+        cw_f = np.zeros((totb, 6))
+        cw_f[:tot] = cw_all.reshape(-1, 6)
+        la_f = np.zeros((totb, 4))
+        la_f[:tot] = np.tile(la, (J, 1))
+        ob_f = np.zeros((totb, 8))
+        ob_f[:tot] = np.tile(obs_n, (J, 1))
+        r = lba_residual_batch(jnp.asarray(cw_f, dtype),
+                               jnp.asarray(la_f, dtype),
+                               jnp.asarray(ob_f, dtype),
+                               cfg.camera.baseline)
+        err_c = np.abs(np.asarray(r, np.float64)[:tot]).max(
+            axis=1).reshape(J, Rn)
+        err_c = np.where(np.isfinite(err_c), err_c, np.inf)
+        S_best = cands_S[int(np.argmax(
+            (err_c < cfg.error_thr).sum(axis=1)))]
+
+    # ---- stage 3: joint BA polish from the aligned init ----
+    Cb = bucket_for(C, cfg.cam_buckets)
+    cam_init = np.zeros((Cb, 6))
+    cam_init[:C] = cam_wt
+    for g in new_ks:
+        cam_init[cam_of[g]] = (Qg[g] @ S_best).wt()
+    first_obs = np.stack([line_first[of][1] for of in line_ids])
+    first_cam = np.asarray([cam_of[line_first[of][0]] for of in line_ids])
+    lines_cam = np.asarray(triangulate_lines(
+        jnp.asarray(first_obs, dtype), cfg.camera.baseline,
+        inverse_depth=cfg.inverse_depth), np.float64)
+    lines_g = np.zeros((Lb, 6))
+    lines_g[:, 5] = 1.0
+    for i in range(len(line_ids)):
+        P = Pose.from_wt(cam_init[first_cam[i]]).inv()   # cam -> gauge
+        lines_g[i, :3] = P.R @ lines_cam[i, :3] + P.t
+        lines_g[i, 3:] = P.R @ lines_cam[i, 3:]
+
+    # priors: strong consecutive odometry inside each group only (see
+    # docstring: a cross-group prior pins the solve at odometry); padded
+    # to a bucket with zero-weight self-edges
+    ei, ej, ec, esig = [], [], [], []
+    for grp in (old_ks, new_ks):
+        for a, b in zip(grp, grp[1:]):
+            ei.append(cam_of[a])
+            ej.append(cam_of[b])
+            ec.append((traj[b].inv() @ traj[a]).wt())
+            esig.append((0.01, 0.05))
+    Eb = max(8, -(-len(ei) // 8) * 8)
+    while len(ei) < Eb:
+        ei.append(0)
+        ej.append(0)
+        ec.append(np.zeros(6))
+        esig.append((1e9, 1e9))
+
+    p = pack_line_major(np.asarray(rows), np.asarray(ocam),
+                        np.asarray(olin), Cb, Lb)
+    cam_free = np.zeros(Cb, bool)
+    cam_free[1:C] = True
+    line_free = np.zeros(Lb, bool)
+    line_free[:L] = True
+    cam_out, line_out, _ = global_ba_cg(
+        jnp.asarray(cam_init, dtype),
+        jnp.asarray(av_to_orth_np(lines_g), dtype),
+        jnp.asarray(p.obs, dtype), jnp.asarray(p.obs_cam),
+        jnp.asarray(p.obs_valid), jnp.asarray(p.cam_perm),
+        jnp.asarray(p.cam_perm_valid), jnp.asarray(cam_free),
+        jnp.asarray(line_free),
+        jnp.asarray(cfg.camera.baseline, dtype),
+        jnp.asarray(cfg.huber_delta, dtype),
+        robust=cfg.robust, max_iters=max(cfg.max_num_iter, 25),
+        line_param=cfg.line_param,
+        prior_edges=(np.asarray(ei), np.asarray(ej), np.stack(ec),
+                     np.asarray(esig)))
+    cam_out = np.asarray(cam_out, np.float64)
+    if not np.all(np.isfinite(cam_out)):
+        return None
+
+    # per-pair acceptance under the joint estimate (max residual over all
+    # of the pair's observation rows; padded to a bucket)
+    nrows = len(rows)
+    Obv = bucket_for(nrows, cfg.obs_buckets)
+    cw_v = np.zeros((Obv, 6))
+    cw_v[:nrows] = cam_out[np.asarray(ocam)]
+    lo_v = np.zeros((Obv, 4))
+    lo_v[:nrows] = np.asarray(line_out, np.float64)[np.asarray(olin)]
+    ob_v = np.zeros((Obv, 8))
+    ob_v[:nrows] = np.asarray(rows)
+    r = lba_residual_batch(
+        jnp.asarray(cw_v, dtype), jnp.asarray(lo_v, dtype),
+        jnp.asarray(ob_v, dtype), cfg.camera.baseline)
+    err = np.abs(np.asarray(r, np.float64)[:nrows]).max(axis=1)
+    if not np.all(np.isfinite(err)):
+        err = np.where(np.isfinite(err), err, np.inf)
+    inl_pairs = {}
+    n_final = 0
+    for (nf, of), idxs in pair_rows.items():
+        if err[idxs].max() < cfg.error_thr:
+            n_final += 1
+            inl_pairs[nf] = of
+    min_score = max(cfg.lc_min_inliers,
+                    int(np.ceil(cfg.lc_min_inlier_ratio * n)))
+    if n_final < min_score:
+        return None
+
+    # edge from the representative pair (most offered matches)
+    k_rep, old_rep, _ = max(span, key=lambda c: len(c[2]))
+    wt = (Pose.from_wt(cam_out[cam_of[k_rep]])
+          @ Pose.from_wt(cam_out[cam_of[old_rep]]).inv()).wt()
+    return old_rep, k_rep, wt, inl_pairs, n_final, n
 
 
 def _consistency_broken(poses_wt: np.ndarray, edges: Sequence[Tuple[int,
@@ -484,6 +831,28 @@ class BatchSlamLC:
                     else:
                         nxt.append(si)
                 pending = nxt
+            # every span gets a joint multi-keyframe solve
+            # (_span_joint_resolve): accepted spans have their 2-view
+            # edge POLISHED from it (the 2-view estimate carries
+            # weak-mode error even when it passes the vote), and fully
+            # rejected spans get the RANSAC line-cloud-alignment rescue
+            # — reject-only containment is not capability (VERDICT r3
+            # item 3)
+            for si in range(n_spans_total):
+                accepted_edge = span_edge[si]
+                out = _span_joint_resolve(spans[si], frames, kf_idx,
+                                          res.trajectory, cfg, self.dtype,
+                                          init_edge=accepted_edge)
+                if out is None:
+                    continue
+                old_rep, k_rep, wt, inl_pairs, n_final, n_off = out
+                ok = _drift_ok(old_rep, k_rep, wt)
+                span_events[si].append(LoopEvent(
+                    old_rep, k_rep, n_off, n_final, wt if ok else None,
+                    ok, joint=True))
+                if ok:
+                    span_edge[si] = (old_rep, k_rep, wt)
+                    span_merge[si] = inl_pairs
             for si, span in enumerate(spans):
                 for (k, old_k, match) in span:
                     if k not in span_solved[si]:

@@ -11,6 +11,16 @@ Per-frame cycle (main.cpp:45-80):
   start_cycle -> grab_frame -> check_input_data -> check_keyframe_motion
   -> add_new_keyframe -> [place_recognized -> loop_closure ->
   pose_optimization] -> local_bundle_adjustment -> end_cycle
+
+Intended scale: the ONLINE regime of the reference — up to a few
+thousand keyframes.  Two per-keyframe costs are deliberately simple at
+that scale and become the ceiling beyond it: ``consistency_broken``
+walks every edge on the host (O(E) Python per keyframe), and
+``pose_optimization`` assembles a dense (6V)^2 reduced system (the
+reference's own sequences top out at 319 keyframes; both are fine to
+~3k, quadratic beyond).  Larger replay/mapping workloads belong on the
+batch path (engine/batch.py + engine/batch_lc.py), whose PGO/refine use
+the matrix-free solvers (ops/schur_cg.py) with no dense V^2 term.
 """
 
 from __future__ import annotations

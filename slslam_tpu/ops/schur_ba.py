@@ -201,7 +201,14 @@ def _solve_step_pose(Hcc, gc, lam, cam_free_f):
                           1e-12, None))
     di = 1.0 / d
     Hn = Hm * di[..., :, None] * di[..., None, :]
-    dc = jnp.linalg.solve(Hn, (rhs * di)[..., None])[..., 0] * di
+    # batched equilibrated CHOLESKY, matching _cho_solve_equilibrated: an
+    # LU solve here differed by 10+ units along near-null directions of
+    # ill-conditioned f32 windows (equal cost, wild pose) and corrupted
+    # the interactive engine's moBA polish on TPU
+    def _cho1(Hb, rb):
+        cf = jax.scipy.linalg.cho_factor(Hb)
+        return jax.scipy.linalg.cho_solve(cf, rb)
+    dc = jax.vmap(_cho1)(Hn, rhs * di) * di
     dc = dc * cam_free_f[:, None]
     damp_quad = lam * jnp.sum(diag_c * dc * dc)
     g_dot_d = jnp.sum(gc * dc)

@@ -302,7 +302,8 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
 
     prior_edges: optional (ei (E,), ej (E,), c (E, 6)) GENERAL pose
     constraints — loop-closure edges in the deferred pipeline — fused
-    with the same sigmas.  With both priors the refine is the full MAP
+    with the same sigmas; the 4-tuple form (ei, ej, c, sig (E, 2))
+    carries per-edge (sigma_rot, sigma_t) instead.  With both priors the refine is the full MAP
     over observations + odometry measurements + loop constraints, so a
     noisy loop edge is one weak term among thousands instead of the
     pose-graph-only solve's dominant one.
@@ -315,15 +316,38 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
 
-    # unify chain + general edges into one (ei, ej, c) block
+    # unify chain + general edges into one (ei, ej, c, scale) block
     C = cam_wt.shape[0]
-    eis, ejs, ecs = [], [], []
+    # sigmas are traced (NOT static jit args): a sigma sweep
+    # (tools/param_study.py) must not retrace the kernel per value
+    sr = jnp.asarray(prior_sigma_rot, dtype)
+    st = jnp.asarray(prior_sigma_t, dtype)
+    eis, ejs, ecs, esc = [], [], [], []
     if prior_c is not None:
+        n = C - 1
         eis.append(jnp.arange(C - 1, dtype=jnp.int32))
         ejs.append(jnp.arange(1, C, dtype=jnp.int32))
         ecs.append(jnp.asarray(prior_c, dtype))
+        esc.append(jnp.concatenate([
+            jnp.full((n, 3), 1.0, dtype) / sr,
+            jnp.full((n, 3), 1.0, dtype) / st], axis=1))
     if prior_edges is not None:
-        ei_x, ej_x, c_x = prior_edges
+        # (ei, ej, c) uses the scalar sigmas; (ei, ej, c, sig) carries
+        # per-edge (sigma_rot, sigma_t) pairs (E, 2) — the deferred LC
+        # joint span re-solve mixes strong in-group odometry edges with
+        # a weak cross-group anchor in one solve
+        if len(prior_edges) == 4:
+            ei_x, ej_x, c_x, sig_x = prior_edges
+            sig_x = jnp.asarray(sig_x, dtype)
+            esc.append(jnp.concatenate([
+                1.0 / jnp.repeat(sig_x[:, 0:1], 3, axis=1),
+                1.0 / jnp.repeat(sig_x[:, 1:2], 3, axis=1)], axis=1))
+        else:
+            ei_x, ej_x, c_x = prior_edges
+            n = len(ei_x)
+            esc.append(jnp.concatenate([
+                jnp.full((n, 3), 1.0, dtype) / sr,
+                jnp.full((n, 3), 1.0, dtype) / st], axis=1))
         eis.append(jnp.asarray(ei_x, jnp.int32))
         ejs.append(jnp.asarray(ej_x, jnp.int32))
         ecs.append(jnp.asarray(c_x, dtype))
@@ -332,12 +356,8 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
         edge_i = jnp.concatenate(eis)
         edge_j = jnp.concatenate(ejs)
         edge_c = jnp.concatenate(ecs)
+        pscale = jnp.concatenate(esc)          # (E, 6)
         from .pose_graph import _edge_rj_batch
-        # sigmas are traced (NOT static jit args): a sigma sweep
-        # (tools/param_study.py) must not retrace the kernel per value
-        pscale = jnp.concatenate([
-            jnp.full(3, 1.0, dtype) / jnp.asarray(prior_sigma_rot, dtype),
-            jnp.full(3, 1.0, dtype) / jnp.asarray(prior_sigma_t, dtype)])
     else:
         edge_i = jnp.zeros((0,), jnp.int32)
         edge_j = jnp.zeros((0,), jnp.int32)
@@ -352,8 +372,8 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
             return cost, Hcc, Hll, gc, gl, Wb, Hoff, None, None
         r, J1, J2 = _edge_rj_batch(cw[edge_i], cw[edge_j], edge_c)
         r = r * pscale
-        J1 = J1 * pscale[None, :, None] * cam_free_f[edge_i, None, None]
-        J2 = J2 * pscale[None, :, None] * cam_free_f[edge_j, None, None]
+        J1 = J1 * pscale[:, :, None] * cam_free_f[edge_i, None, None]
+        J2 = J2 * pscale[:, :, None] * cam_free_f[edge_j, None, None]
         cost = cost + 0.5 * jnp.sum(r * r)
         gc = gc.at[edge_i].add(jnp.einsum("eki,ek->ei", J1, r))
         gc = gc.at[edge_j].add(jnp.einsum("eki,ek->ei", J2, r))

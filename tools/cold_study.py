@@ -24,12 +24,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     effort = float(sys.argv[1]) if len(sys.argv) > 1 else None
+    t0 = time.perf_counter()
     import jax
     if effort is not None:
         jax.config.update("jax_exec_time_optimization_effort", effort)
         jax.config.update("jax_memory_fitting_effort", effort)
     platform = jax.devices()[0].platform
-    t_init = time.perf_counter()
+    t_init = time.perf_counter() - t0
 
     from slslam_tpu.config import SlamConfig
     from slslam_tpu.engine.batch import BatchSlam

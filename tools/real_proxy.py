@@ -94,7 +94,7 @@ def run_sequence(seq, args):
         rec = PlaceRecognizer(VocTree(vocab, params), min_matches=8,
                               min_similarity=0.8)
         eng = BatchSlamLC(cfg, recognizer=rec, descriptor_source=desc_src,
-                          refine=True, refine_rounds=1)
+                          refine=True, refine_rounds=args.refine_rounds)
         lc_res = eng.run(frames)
         res, traj_final = lc_res.base, lc_res.trajectory
     else:
@@ -156,6 +156,9 @@ def main(argv=None):
     ap.add_argument("--lc", action="store_true",
                     help="wlc configuration: voctree place recognition + "
                          "loop closure + PGO + merged global refine")
+    ap.add_argument("--refine-rounds", type=int, default=2,
+                    help="global-refine rounds on the wlc path (the wolc "
+                         "path's global_refine default is 2)")
     args = ap.parse_args(argv)
 
     import jax
