@@ -114,7 +114,34 @@ class SlamConfig:
 
     # Solver flags (reference: src/main.cpp:22-27, src/lba_problem.cpp:26-43).
     ba_window_size: int = 10
-    max_num_iter: int = 10
+    # LM iteration cap.  The reference's gflags default is 10, but its own
+    # benchmark baseline sweeps maxnumiter=1000 (the 35.9 s row,
+    # BASELINE.md) and cap 10 under-converges dense outdoor-scale windows:
+    # on the real-sequence proxies avg iterations pinned at the cap and
+    # ATE was a chaotic function of it (myungdong across seeds: 1.7-11 m
+    # at cap 10 vs 0.87-1.97 m at cap 50; PERF_HISTORY r4).  Convergence
+    # tolerances exit early everywhere the cap does not bind (house f32
+    # steady state ~5 iterations), so the higher default costs nothing on
+    # easy windows.  Documented deviation, PARITY.md.
+    max_num_iter: int = 50
+    # Weak Gaussian anchor of each free window camera at its initial
+    # (odometry-predicted) pose during windowed BA (ops/schur_ba.py
+    # cam_anchor_sigmas; 0 = off — the DEFAULT: measured on the
+    # myungdong proxy, anchoring at (0.02 rad, 0.1 m) froze the window
+    # solve to pure-VO odometry and drove ATE 1.7 -> 12 m; the window
+    # corrections an anchor would suppress carry the drift correction).
+    # Kept as a knob for genuinely anchor-needing workloads.
+    window_anchor_sigma_rot: float = 0.0
+    window_anchor_sigma_t: float = 0.0
+    # Lines-only damped-GN pre-stage before each windowed BA
+    # (ops/schur_ba.py lines_gn_impl; 0 = off).  New lines enter the map
+    # triangulated from one stereo pair — meters of depth noise outdoors
+    # — and the joint LM burns its whole iteration cap dragging them in
+    # (proxy avg_num_iterations pinned at the cap with seed-dependent
+    # multi-meter drift; measured r4).  A few parallel 4x4 GN steps land
+    # the line blocks in their basin first.  No reference analog: Ceres
+    # re-solves from scratch each window and eats the iterations instead.
+    lines_gn_iters: int = 4
     # 4-DoF line parameterization used by the solvers: "orth" (production,
     # gc.cpp:361-460), "aid" or "asd" (the study's alternatives,
     # gc.cpp:188-356; see BASELINE.md §1)

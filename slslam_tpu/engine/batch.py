@@ -58,7 +58,7 @@ import numpy as np
 from .. import geometry as geo
 from ..config import SlamConfig, bucket_for
 from ..hostgeom import Pose
-from ..ops.schur_ba import BAStats, local_ba_impl
+from ..ops.schur_ba import BAStats, lines_gn_impl, local_ba_impl
 from ..ops.triangulate import triangulate_lines
 from ..ops.vo_pipeline import vo_body
 
@@ -503,10 +503,27 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
                     win_valid.reshape(-1),
                     jnp.logical_and(qualify[olin], cam_valid[ocam]))
 
+                if cfg.lines_gn_iters > 0:
+                    # stage the lines into their basin before the joint
+                    # solve (SlamConfig.lines_gn_iters)
+                    line_p4 = lines_gn_impl(
+                        win_pose, line_p4, ob, ocam, olin, ovalid,
+                        qualify, baseline, huber_delta,
+                        robust=cfg.robust, iters=cfg.lines_gn_iters,
+                        line_param=cfg.line_param)
+
+                anchor = None
+                if cfg.window_anchor_sigma_rot > 0 \
+                        and cfg.window_anchor_sigma_t > 0:
+                    anchor = (jnp.asarray(cfg.window_anchor_sigma_rot,
+                                          dtype),
+                              jnp.asarray(cfg.window_anchor_sigma_t,
+                                          dtype))
                 cam_out, line_out, stats = local_ba_impl(
                     win_pose, line_p4, ob, ocam, olin, ovalid, cam_free,
                     qualify, baseline, huber_delta, robust=cfg.robust,
-                    max_iters=cfg.max_num_iter, line_param=cfg.line_param)
+                    max_iters=cfg.max_num_iter, line_param=cfg.line_param,
+                    cam_anchor_sigmas=anchor)
 
                 win_pose = jnp.where(cam_valid[:, None], cam_out, win_pose)
                 lm_line = jnp.where(qualify[..., None], dec(line_out),

@@ -254,6 +254,13 @@ def _span_joint_resolve(span, frames, kf_idx, traj, cfg: SlamConfig,
     span's edge from the weak-mode-prone 2-view estimate to the
     multi-keyframe joint one.
 
+    Returns None when the solve could not be ATTEMPTED (too few pairs,
+    non-finite result); otherwise a 7-tuple whose last element
+    ``vote_ok`` reports whether the joint estimate passed the inlier
+    vote — a False vote on an edge-polish call is evidence AGAINST the
+    2-view edge (the multi-view geometry refutes it), which the caller
+    acts on.
+
     The 2-camera representative solve fails on weak-mode spans: one
     stereo pair per side leaves a translation direction nearly
     unobservable, and the solved edge lands meters off along it (the
@@ -578,14 +585,13 @@ def _span_joint_resolve(span, frames, kf_idx, traj, cfg: SlamConfig,
             inl_pairs[nf] = of
     min_score = max(cfg.lc_min_inliers,
                     int(np.ceil(cfg.lc_min_inlier_ratio * n)))
-    if n_final < min_score:
-        return None
+    vote_ok = n_final >= min_score
 
     # edge from the representative pair (most offered matches)
     k_rep, old_rep, _ = max(span, key=lambda c: len(c[2]))
     wt = (Pose.from_wt(cam_out[cam_of[k_rep]])
           @ Pose.from_wt(cam_out[cam_of[old_rep]]).inv()).wt()
-    return old_rep, k_rep, wt, inl_pairs, n_final, n
+    return old_rep, k_rep, wt, inl_pairs, n_final, n, vote_ok
 
 
 def _consistency_broken(poses_wt: np.ndarray, edges: Sequence[Tuple[int,
@@ -833,26 +839,45 @@ class BatchSlamLC:
                 pending = nxt
             # every span gets a joint multi-keyframe solve
             # (_span_joint_resolve): accepted spans have their 2-view
-            # edge POLISHED from it (the 2-view estimate carries
-            # weak-mode error even when it passes the vote), and fully
-            # rejected spans get the RANSAC line-cloud-alignment rescue
-            # — reject-only containment is not capability (VERDICT r3
+            # edge CONFIRMED and polished by it (the 2-view estimate
+            # carries weak-mode error even when it passes its own vote —
+            # olympic4f's accepted 2-view edge measured 3.3 m off ground
+            # truth), fully rejected spans get the RANSAC
+            # line-cloud-alignment rescue, and a 2-view edge the
+            # multi-view solve REFUTES (vote fails from its own init AND
+            # from the independent alignment) is dropped — reject-only
+            # containment is not capability, but neither is keeping an
+            # edge the stronger estimator disagrees with (VERDICT r3
             # item 3)
             for si in range(n_spans_total):
                 accepted_edge = span_edge[si]
-                out = _span_joint_resolve(spans[si], frames, kf_idx,
-                                          res.trajectory, cfg, self.dtype,
-                                          init_edge=accepted_edge)
-                if out is None:
-                    continue
-                old_rep, k_rep, wt, inl_pairs, n_final, n_off = out
-                ok = _drift_ok(old_rep, k_rep, wt)
-                span_events[si].append(LoopEvent(
-                    old_rep, k_rep, n_off, n_final, wt if ok else None,
-                    ok, joint=True))
-                if ok:
+                confirmed = None
+                attempted = False
+                for init in ((accepted_edge, None)
+                             if accepted_edge is not None else (None,)):
+                    out = _span_joint_resolve(
+                        spans[si], frames, kf_idx, res.trajectory, cfg,
+                        self.dtype, init_edge=init)
+                    if out is None:
+                        continue
+                    attempted = True
+                    (old_rep, k_rep, wt, inl_pairs, n_final, n_off,
+                     vote_ok) = out
+                    ok = vote_ok and _drift_ok(old_rep, k_rep, wt)
+                    span_events[si].append(LoopEvent(
+                        old_rep, k_rep, n_off, n_final,
+                        wt if ok else None, ok, joint=True))
+                    if ok:
+                        confirmed = (old_rep, k_rep, wt, inl_pairs)
+                        break
+                if confirmed is not None:
+                    old_rep, k_rep, wt, inl_pairs = confirmed
                     span_edge[si] = (old_rep, k_rep, wt)
                     span_merge[si] = inl_pairs
+                elif attempted and accepted_edge is not None:
+                    # multi-view refuted the 2-view edge: drop it
+                    span_edge[si] = None
+                    span_merge[si] = None
             for si, span in enumerate(spans):
                 for (k, old_k, match) in span:
                     if k not in span_solved[si]:

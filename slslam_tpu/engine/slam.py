@@ -36,7 +36,7 @@ from ..config import SlamConfig, bucket_for
 from ..hostgeom import Pose, angle_normvec, line_from_pose, line_to_pose, \
     normalize, rotation_angle, skew
 from ..ops.pose_graph import pose_graph_opt
-from ..ops.schur_ba import local_ba
+from ..ops.schur_ba import staged_local_ba
 from ..ops.triangulate import triangulate_lines
 from ..ops.vo_pipeline import vo_pipeline
 from ..utils.stopwatch import StopWatch
@@ -585,7 +585,7 @@ class Slam:
                                   np.float64).reshape(-1, 4)[perm]
             cam_out = np.asarray(cam_out, np.float64)
         else:
-            cam_dev, line_dev, stats_dev = local_ba(
+            cam_dev, line_dev, stats_dev = staged_local_ba(
                 jnp.asarray(cam_p, self.dtype),
                 jnp.asarray(lorth, self.dtype),
                 jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
@@ -594,7 +594,13 @@ class Slam:
                 jnp.asarray(line_free), cfg.camera.baseline,
                 cfg.huber_delta,
                 robust=cfg.robust, max_iters=cfg.max_num_iter,
-                line_param=cfg.line_param)
+                line_param=cfg.line_param,
+                gn_iters=cfg.lines_gn_iters,
+                cam_anchor_sigmas=(
+                    (jnp.asarray(cfg.window_anchor_sigma_rot, self.dtype),
+                     jnp.asarray(cfg.window_anchor_sigma_t, self.dtype))
+                    if cfg.window_anchor_sigma_rot > 0
+                    and cfg.window_anchor_sigma_t > 0 else None))
             # single fused device->host fetch
             cam_out, line_out, stats = jax.device_get(
                 (cam_dev, line_dev, stats_dev))

@@ -97,6 +97,16 @@ def lba_residual_jac_cam(cam_wt, line_param4, obs, baseline,
     return r, j_cam
 
 
+def lba_residual_jac_line(cam_wt, line_param4, obs, baseline,
+                          line_param="orth"):
+    """Residual plus line Jacobian only — the lines-only staged solve
+    (cameras fixed), which skips the camera-Jacobian HLO."""
+    r = lba_residual(cam_wt, line_param4, obs, baseline, line_param)
+    j_line = jax.jacfwd(lba_residual, argnums=1)(cam_wt, line_param4, obs,
+                                                 baseline, line_param)
+    return r, j_line
+
+
 def score_error(obs, R, t, line_av, baseline):
     """RANSAC scoring error (slam.cpp:691-726). Scalar per observation.
 
@@ -152,6 +162,18 @@ def lba_residual_jac_cam_batch(cam_wt, line_param4, obs, baseline,
                                line_param="orth"):
     return _jac_cam_batch_for(line_param)(cam_wt, line_param4, obs,
                                           baseline)
+
+
+@functools.lru_cache(maxsize=None)
+def _jac_line_batch_for(line_param):
+    fn = functools.partial(lba_residual_jac_line, line_param=line_param)
+    return jax.vmap(fn, in_axes=(0, 0, 0, None))
+
+
+def lba_residual_jac_line_batch(cam_wt, line_param4, obs, baseline,
+                                line_param="orth"):
+    return _jac_line_batch_for(line_param)(cam_wt, line_param4, obs,
+                                           baseline)
 
 
 # residual-only batch, jitted: callers that only score (e.g. the refine

@@ -215,6 +215,99 @@ def _solve_step_pose(Hcc, gc, lam, cam_free_f):
     return dc, damp_quad, g_dot_d
 
 
+def lines_gn_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
+                  line_free, baseline, huber_delta, robust=True,
+                  iters=4, line_param="orth", assembly=None):
+    """Lines-only damped Gauss-Newton: cameras fixed, every line an
+    independent 4x4 block (no Schur, no camera system, no while_loop).
+
+    The staged-solve trick of engine/refine.py applied per window: a new
+    line enters the map triangulated from ONE stereo pair, whose depth
+    noise at outdoor scale (z^2/(b f), meters at 10+ m) starts it far
+    outside its basin; the joint window LM then spends its whole
+    iteration budget dragging lines in (the myungdong/olympic proxies
+    pinned avg_num_iterations at the cap, with seed-dependent multi-
+    meter drift).  A few damped GN steps on the line blocks alone land
+    them in the basin first, so the joint solve polishes instead of
+    rescuing.  Steps that do not reduce a line's own robust cost are
+    rejected per line (parallel trust-region-lite).
+    """
+    if assembly is None:
+        assembly = ("onehot" if jax.default_backend() not in ("cpu",)
+                    else "scatter")
+    from .residuals import lba_residual_jac_line_batch
+
+    L = line_orth.shape[0]
+    dtype = cam_wt.dtype
+    w_valid = obs_valid.astype(dtype)
+    line_free_f = line_free.astype(dtype)
+    cw = cam_wt[obs_cam]
+
+    def eval_lines(lo):
+        r, Jl = lba_residual_jac_line_batch(cw, lo[obs_line], obs,
+                                            baseline,
+                                            line_param=line_param)
+        w_r, cost_i = _robust_weights(r, huber_delta, robust)
+        valid = w_valid[:, None] > 0
+        scale = w_r[:, None]
+        r = jnp.where(valid, r * scale, 0.0)
+        Jl = jnp.where(valid[..., None], Jl * scale[..., None]
+                       * line_free_f[obs_line][:, None, None], 0.0)
+        B = jnp.einsum("oki,okj->oij", Jl, Jl)
+        gl_o = jnp.einsum("oki,ok->oi", Jl, r)
+        cost_o = jnp.where(w_valid > 0, cost_i, 0.0)
+        if assembly == "onehot":
+            ol1h = jax.nn.one_hot(obs_line, L, dtype=r.dtype)
+            Hll = jnp.einsum("ol,oij->lij", ol1h, B)
+            gl = ol1h.T @ gl_o
+            cost_l = ol1h.T @ cost_o
+        else:
+            Hll = jnp.zeros((L, 4, 4), r.dtype).at[obs_line].add(B)
+            gl = jnp.zeros((L, 4), r.dtype).at[obs_line].add(gl_o)
+            cost_l = jnp.zeros((L,), r.dtype).at[obs_line].add(cost_o)
+        return Hll, gl, cost_l
+
+    def cost_lines(lo):
+        from .residuals import lba_residual_batch
+        r = lba_residual_batch(cw, lo[obs_line], obs, baseline,
+                               line_param=line_param)
+        _, cost_i = _robust_weights(r, huber_delta, robust)
+        cost_o = jnp.where(w_valid > 0, cost_i, 0.0)
+        if assembly == "onehot":
+            ol1h = jax.nn.one_hot(obs_line, L, dtype=r.dtype)
+            return ol1h.T @ cost_o
+        return jnp.zeros((L,), r.dtype).at[obs_line].add(cost_o)
+
+    lam = jnp.asarray(1e-3, dtype)
+
+    def body(lo, _):
+        Hll, gl, cost_l = eval_lines(lo)
+        diag_l = jnp.clip(jnp.diagonal(Hll, axis1=-2, axis2=-1),
+                          _MIN_DIAG, _MAX_DIAG)
+        Binv = _inv4_equilibrated(
+            Hll + lam * diag_l[..., None] * jnp.eye(4, dtype=dtype))
+        dl = -jnp.einsum("lab,lb->la", Binv, gl) * line_free_f[:, None]
+        lo_new = lo + dl
+        cost_new = cost_lines(lo_new)
+        # STRICT improvement with margin: an equal-cost step is a move
+        # along a null direction (measured: `<=` here drifted weakly
+        # observed landmarks 0.19 m off the world on the house e2e)
+        take = jnp.logical_and(jnp.isfinite(cost_new),
+                               cost_new < cost_l * (1.0 - 1e-4))[:, None]
+        take = jnp.logical_and(take,
+                               jnp.all(jnp.isfinite(lo_new), axis=-1,
+                                       keepdims=True))
+        return jnp.where(take, lo_new, lo), None
+
+    out, _ = jax.lax.scan(body, line_orth, None, length=iters)
+    return out
+
+
+lines_gn = jax.jit(lines_gn_impl, static_argnames=("robust", "iters",
+                                                   "line_param",
+                                                   "assembly"))
+
+
 def _inv4_equilibrated(Hll_d):
     """Jacobi-equilibrated batched 4x4 inverse.
 
@@ -286,7 +379,8 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
 def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                   cam_free, line_free, baseline, huber_delta,
                   robust=True, max_iters=10,
-                  line_param="orth", assembly=None, pose_only=False):
+                  line_param="orth", assembly=None, pose_only=False,
+                  cam_anchor_sigmas=None):
     """Run windowed local BA.  All shapes static (padded).
 
     Args:
@@ -305,6 +399,18 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
         ignored) and the line-Jacobian/Schur machinery is never built —
         the motion-only-BA instantiation (slam.cpp:578-675).  Identical
         math to the full path with line_free all-False.
+      cam_anchor_sigmas: optional (sigma_rot, sigma_t) — a weak Gaussian
+        anchor of every free camera at its INITIAL pose, fused into the
+        normal equations.  Outdoor windows (distant lines, 0.12 m stereo
+        baseline) have near-null pose modes along which LM descends a
+        flat robust-cost valley indefinitely (measured on captured
+        myungdong windows: cost still falling 1%/iteration at 80
+        iterations with ~0.1 m of pose wander; final accuracy was a
+        chaotic function of the iteration cap — 1.7/6.8/1.0 m ATE at
+        caps 10/25/50).  The anchor is a standard motion-model prior:
+        strong directions (sigma-dominated by the observations) converge
+        unchanged, null directions stay at the odometry prediction.  No
+        reference analog (documented deviation, PARITY.md).
 
     Returns:
       (cam_wt', line_orth', BAStats)
@@ -324,6 +430,18 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     line_free_f = line_free.astype(dtype)
     w_valid = obs_valid.astype(dtype)
 
+    if cam_anchor_sigmas is not None:
+        sr, st = cam_anchor_sigmas
+        aw = jnp.concatenate([jnp.full(3, 1.0, dtype) / sr,
+                              jnp.full(3, 1.0, dtype) / st])   # (6,)
+        anchor = cam_wt
+
+    def _anchor_terms(cw):
+        d = (cw - anchor) * cam_free_f[:, None]
+        cost_a = 0.5 * jnp.sum((d * aw) ** 2)
+        g_a = d * (aw * aw)                                    # (C,6)
+        return cost_a, g_a
+
     # The full system (residuals + Jacobians + assembly) is evaluated
     # INSIDE the loop body only, at the current accepted point; the trial
     # point is scored with a residual-only cost.  One instance of the
@@ -333,21 +451,34 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
     # and inside the loop, and the (C,L,6,4) coupling W sat in the carry).
     def evaluate(cw, lo):
         if pose_only:
-            return _eval_pose_system(cw, lo, obs, obs_cam, obs_line,
-                                     w_valid, cam_free_f, baseline,
-                                     huber_delta, robust,
-                                     line_param=line_param,
-                                     assembly=assembly)
-        return _eval_system(cw, lo, obs, obs_cam, obs_line, w_valid,
-                            cam_free_f, line_free_f, baseline, huber_delta,
-                            robust, line_param=line_param,
-                            assembly=assembly)
+            out = _eval_pose_system(cw, lo, obs, obs_cam, obs_line,
+                                    w_valid, cam_free_f, baseline,
+                                    huber_delta, robust,
+                                    line_param=line_param,
+                                    assembly=assembly)
+        else:
+            out = _eval_system(cw, lo, obs, obs_cam, obs_line, w_valid,
+                               cam_free_f, line_free_f, baseline,
+                               huber_delta, robust,
+                               line_param=line_param, assembly=assembly)
+        if cam_anchor_sigmas is None:
+            return out
+        cost_a, g_a = _anchor_terms(cw)
+        H_a = jnp.diag(aw * aw)[None] * cam_free_f[:, None, None]
+        if pose_only:
+            cost, Hcc, gc = out
+            return cost + cost_a, Hcc + H_a, gc + g_a
+        cost, Hcc, Hll, gc, gl, W = out
+        return cost + cost_a, Hcc + H_a, Hll, gc + g_a, gl, W
 
     def cost_only(cw, lo):
         r = lba_residual_batch(cw[obs_cam], lo[obs_line], obs, baseline,
                                line_param=line_param)
         _, cost_i = _robust_weights(r, huber_delta, robust)
-        return jnp.sum(jnp.where(w_valid > 0, cost_i, 0.0))
+        cost = jnp.sum(jnp.where(w_valid > 0, cost_i, 0.0))
+        if cam_anchor_sigmas is not None:
+            cost = cost + _anchor_terms(cw)[0]
+        return cost
 
     cost0 = cost_only(cam_wt, line_orth)
 
@@ -421,6 +552,32 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
 local_ba = jax.jit(local_ba_impl, static_argnames=("robust", "max_iters",
                                                    "line_param",
                                                    "assembly", "pose_only"))
+
+
+def staged_local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
+                         obs_valid, cam_free, line_free, baseline,
+                         huber_delta, robust=True, max_iters=10,
+                         line_param="orth", assembly=None, gn_iters=4,
+                         cam_anchor_sigmas=None):
+    """lines_gn pre-stage + local_ba as ONE traced body (one dispatch on
+    the interactive per-frame path; see SlamConfig.lines_gn_iters)."""
+    if gn_iters > 0:
+        line_orth = lines_gn_impl(cam_wt, line_orth, obs, obs_cam,
+                                  obs_line, obs_valid, line_free,
+                                  baseline, huber_delta, robust=robust,
+                                  iters=gn_iters, line_param=line_param,
+                                  assembly=assembly)
+    return local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
+                         obs_valid, cam_free, line_free, baseline,
+                         huber_delta, robust=robust, max_iters=max_iters,
+                         line_param=line_param, assembly=assembly,
+                         cam_anchor_sigmas=cam_anchor_sigmas)
+
+
+staged_local_ba = jax.jit(
+    staged_local_ba_impl,
+    static_argnames=("robust", "max_iters", "line_param", "assembly",
+                     "gn_iters"))
 
 
 # ---------------------------------------------------------------------------

@@ -135,3 +135,36 @@ def test_assemble_pair_fallback_matches_scatter():
     for a, b in zip(out_pallas, out_scatter):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_fused_eval_matches_eval_system():
+    """The fused residual+Jacobian+assembly kernel (interpret mode) must
+    reproduce ops/schur_ba._eval_system exactly (same formulas)."""
+    import jax
+    from slslam_tpu.ops import pallas_kernels as pk
+    from slslam_tpu.ops.schur_ba import _eval_system
+
+    rng = np.random.default_rng(11)
+    C, L, O = 12, 40, 512
+    cam = jnp.asarray(rng.standard_normal((C, 6)) * 0.1)
+    line = rng.standard_normal((L, 4)) * 0.2
+    line[:, 3] = 0.4 + 0.3 * rng.random(L)
+    line = jnp.asarray(line)
+    obs = jnp.asarray(rng.standard_normal((O, 8)) * 0.3)
+    oc = jnp.asarray(rng.integers(0, C, O), jnp.int32)
+    ol = jnp.asarray(rng.integers(0, L, O), jnp.int32)
+    valid = rng.random(O) < 0.8
+    wv = jnp.asarray(valid.astype(np.float64))
+    cfree = np.ones(C); cfree[0] = 0.0
+    lfree = np.ones(L); lfree[5] = 0.0
+    cfree = jnp.asarray(cfree); lfree = jnp.asarray(lfree)
+    baseline, huber = 0.12, 1.0 / 406.05
+
+    ref = _eval_system(cam, line, obs, oc, ol, wv, cfree, lfree,
+                       baseline, huber, True, assembly="scatter")
+    got = pk.fused_eval_pallas(cam, line, obs, oc, ol, wv, cfree, lfree,
+                               baseline, huber, interpret=True)
+    names = ("cost", "Hcc", "Hll", "gc", "gl", "W")
+    for name, a, b in zip(names, ref, got):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-6, atol=1e-9, err_msg=name)

@@ -30,14 +30,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def _bench(fn, *args, reps=5):
+def _sync(out):
+    """Force completion with a 4-byte fetch: through the tunneled
+    backend block_until_ready returns before device completion (a 4096^3
+    matmul 'finished' in 57 us), and fetching a full result leaf times
+    the tunnel's MB/s instead of the chip (64 MB at ~0.07 GB/s).  A
+    device-side reduction to a scalar forces the producer to finish and
+    costs one small transfer."""
     import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(out)
+    jax.device_get(jnp.sum(leaves[0]))
+
+
+def _bench(fn, *args, reps=20):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
