@@ -87,6 +87,16 @@ class SlamConfig:
     # vs ~1-2% actual drift).  The reference's consistency_broken check
     # (slam.cpp:1215-1232) plays the symmetric role AFTER insertion.
     lc_max_drift_frac: float = 0.03
+    # A 2-view span edge longer than this gets CONFIRMED by the joint
+    # multi-keyframe solve before use (engine/batch_lc.py): long edges
+    # are terminal-approach closures whose single-stereo-pair geometry
+    # leaves a weak translation mode (olympic4f's accepted 2-view edge
+    # measured 3.3 m off ground truth), while revisit-range edges are
+    # reliable and their joint confirms only cost wall (the village LC
+    # bench spent 10-15 s confirming 9 sub-meter edges for identical
+    # results).  The value mirrors lc_ransac_max_t_norm: the online
+    # path's own notion of revisit range.
+    lc_confirm_t_norm: float = 2.5
 
     # Reprojection / thresholds (reference: src/parameter.h:55-62).
     inverse_depth: float = 0.1
@@ -133,6 +143,12 @@ class SlamConfig:
     # Kept as a knob for genuinely anchor-needing workloads.
     window_anchor_sigma_rot: float = 0.0
     window_anchor_sigma_t: float = 0.0
+    # Motion-only-BA (VO polish) iteration cap.  The 6-DoF fixed-line
+    # polish converges in a handful of iterations; letting it inherit
+    # the windowed-BA cap (50) only burns while_loop trips on hard
+    # frames.  10 = the reference's flag default, which always sufficed
+    # for its moBA use (slam.cpp:578-675).
+    moba_max_iter: int = 10
     # Lines-only damped-GN pre-stage before each windowed BA
     # (ops/schur_ba.py lines_gn_impl; 0 = off).  New lines enter the map
     # triangulated from one stereo pair — meters of depth noise outdoors
@@ -141,6 +157,9 @@ class SlamConfig:
     # multi-meter drift; measured r4).  A few parallel 4x4 GN steps land
     # the line blocks in their basin first.  No reference analog: Ceres
     # re-solves from scratch each window and eats the iterations instead.
+    # Applied only to lines qualifying for BA for the FIRST time, and
+    # skipped at runtime on frames with none (2 iterations measured
+    # 1.21% myungdong worst-seed vs 0.99% at 4 — the full 4 stay).
     lines_gn_iters: int = 4
     # 4-DoF line parameterization used by the solvers: "orth" (production,
     # gc.cpp:361-460), "aid" or "asd" (the study's alternatives,

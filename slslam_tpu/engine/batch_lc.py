@@ -206,8 +206,8 @@ def _solve_span_round(cands, frames, kf_idx, cfg: SlamConfig, dtype,
             max_t_norm=cfg.lc_defer_max_t_norm,
             num_hyp=cfg.ransac_num_hypotheses,
             sample_size=cfg.ransac_min_sample,
-            robust=cfg.robust, vo_iters=cfg.max_num_iter,
-            refit_iters=max(cfg.max_num_iter, 25),
+            robust=cfg.robust, vo_iters=cfg.moba_max_iter,
+            refit_iters=25,
             line_param=cfg.line_param,
             relin_iters=cfg.vo_relin_iters))
 
@@ -851,6 +851,11 @@ class BatchSlamLC:
             # item 3)
             for si in range(n_spans_total):
                 accepted_edge = span_edge[si]
+                if accepted_edge is not None and np.linalg.norm(
+                        accepted_edge[2][3:]) <= cfg.lc_confirm_t_norm:
+                    # revisit-range 2-view edge: reliable as-is (see
+                    # SlamConfig.lc_confirm_t_norm)
+                    continue
                 confirmed = None
                 attempted = False
                 for init in ((accepted_edge, None)

