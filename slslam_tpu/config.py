@@ -143,12 +143,12 @@ class SlamConfig:
     # Kept as a knob for genuinely anchor-needing workloads.
     window_anchor_sigma_rot: float = 0.0
     window_anchor_sigma_t: float = 0.0
-    # Motion-only-BA (VO polish) iteration cap.  The 6-DoF fixed-line
-    # polish converges in a handful of iterations; letting it inherit
-    # the windowed-BA cap (50) only burns while_loop trips on hard
-    # frames.  10 = the reference's flag default, which always sufficed
-    # for its moBA use (slam.cpp:578-675).
-    moba_max_iter: int = 10
+    # Motion-only-BA (VO polish) iteration cap.  Capping it at the
+    # reference's flag default (10) was measured to buy only ~2% replay
+    # throughput while degrading olympic4f proxy odometry 1.27 -> 1.89 m
+    # (the polish genuinely uses the budget on hard frames), so it
+    # matches the windowed cap.
+    moba_max_iter: int = 50
     # Lines-only damped-GN pre-stage before each windowed BA
     # (ops/schur_ba.py lines_gn_impl; 0 = off).  New lines enter the map
     # triangulated from one stereo pair — meters of depth noise outdoors

@@ -553,10 +553,14 @@ def _span_joint_resolve(span, frames, kf_idx, traj, cfg: SlamConfig,
         jnp.asarray(line_free),
         jnp.asarray(cfg.camera.baseline, dtype),
         jnp.asarray(cfg.huber_delta, dtype),
-        robust=cfg.robust, max_iters=max(cfg.max_num_iter, 25),
+        robust=cfg.robust, max_iters=30, cg_iters=50,
         line_param=cfg.line_param,
         prior_edges=(np.asarray(ei), np.asarray(ej), np.stack(ec),
                      np.asarray(esig)))
+    # 30 LM x 50 CG: the polish starts inside its basin (aligned or
+    # edge-init), and the small reduced system converges early — at the
+    # 50x100 defaults each joint solve cost ~4 s of latency-bound CG
+    # steps (76 s of the 1000-kf scale wall; PERF_HISTORY r4)
     cam_out = np.asarray(cam_out, np.float64)
     if not np.all(np.isfinite(cam_out)):
         return None
@@ -807,6 +811,7 @@ class BatchSlamLC:
             # fallback order, now 3 dispatches total instead of 3-4 per
             # span)
             n_spans_total = len(spans)
+            t_rounds0 = time.perf_counter()
             span_ordered = [sorted(s, key=lambda c: -len(c[2]))[:3]
                             for s in spans]
             span_events: List[List[LoopEvent]] = [[] for _ in spans]
@@ -837,6 +842,9 @@ class BatchSlamLC:
                     else:
                         nxt.append(si)
                 pending = nxt
+            t_rounds = time.perf_counter() - t_rounds0
+            t_joint0 = time.perf_counter()
+            n_joint = 0
             # every span gets a joint multi-keyframe solve
             # (_span_joint_resolve): accepted spans have their 2-view
             # edge CONFIRMED and polished by it (the 2-view estimate
@@ -860,6 +868,7 @@ class BatchSlamLC:
                 attempted = False
                 for init in ((accepted_edge, None)
                              if accepted_edge is not None else (None,)):
+                    n_joint += 1
                     out = _span_joint_resolve(
                         spans[si], frames, kf_idx, res.trajectory, cfg,
                         self.dtype, init_edge=init)
@@ -883,6 +892,7 @@ class BatchSlamLC:
                     # multi-view refuted the 2-view edge: drop it
                     span_edge[si] = None
                     span_merge[si] = None
+            t_joint = time.perf_counter() - t_joint0
             for si, span in enumerate(spans):
                 for (k, old_k, match) in span:
                     if k not in span_solved[si]:
@@ -960,6 +970,10 @@ class BatchSlamLC:
                                if pgo_stats is not None else 0),
             "wall_replay_s": round(t_replay, 3),
             "wall_recognition_s": round(t_recog, 3),
+            "wall_span_rounds_s": round(t_rounds, 3) if n_spans else 0.0,
+            "wall_joint_confirm_s": (round(t_joint, 3)
+                                     if n_spans else 0.0),
+            "num_joint_solves": n_joint if n_spans else 0,
             "wall_pgo_s": round(t_pgo, 3),
             "wall_refine_s": round(t_refine, 3),
         })

@@ -81,9 +81,18 @@ def describe(mag: np.ndarray, angle: np.ndarray,
     """(N, 4) segments -> (N, 72) L2-normalized descriptors."""
     if len(segs) == 0:
         return np.zeros((0, DESC_DIM), np.float32)
+    # pad the segment count to a bucket: per-frame detection counts vary
+    # and an exact-shape jit retraced/compiled EVERY frame (~0.75 s per
+    # image — the whole front-end wall, measured r4)
+    N = len(segs)
+    Nb = 32
+    while Nb < N:
+        Nb *= 2
+    segs_p = np.zeros((Nb, 4), np.float32)
+    segs_p[:N] = segs
     d = np.asarray(_describe_batch(jnp.asarray(mag, jnp.float32),
                                    jnp.asarray(angle, jnp.float32),
-                                   jnp.asarray(segs, jnp.float32)))
+                                   jnp.asarray(segs_p, jnp.float32)))[:N]
     # SIFT-style: normalize, clip, renormalize
     norm = np.linalg.norm(d, axis=1, keepdims=True)
     d = d / np.maximum(norm, 1e-12)

@@ -50,7 +50,7 @@ _FUNCTION_TOL = 1e-6
 _PARAM_TOL = 1e-8
 
 
-def _tolerances(dtype):
+def _tolerances(dtype, ftol_floor=64.0):
     """Ceres tolerances, floored at the dtype's resolution.
 
     Ceres defaults: function_tolerance 1e-6, parameter_tolerance 1e-8 —
@@ -59,9 +59,15 @@ def _tolerances(dtype):
     avg iterations in f32 vs 3 in f64 on the house replay).  A relative
     cost change below ~64 eps is numerical noise in any dtype, so floor
     the tolerances there; in f64 the Ceres values are unchanged.
+
+    A looser floor (256 eps) was measured r4 and REJECTED: it bought
+    ~10% replay throughput (avg iterations 7.1 -> 6.0 at LM cap 50) but
+    a weak-mode bench seed's refined ATE went 0.0024 -> 0.0124 m — the
+    "sub-noise" late iterations carry real signal along the
+    weakly-observed modes that the refine then needs in its init.
     """
     eps = float(jnp.finfo(dtype).eps)
-    ftol = max(_FUNCTION_TOL, 64.0 * eps)
+    ftol = max(_FUNCTION_TOL, ftol_floor * eps)
     ptol = max(_PARAM_TOL, 8.0 * eps)
     return ftol, ptol
 

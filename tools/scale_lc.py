@@ -135,8 +135,10 @@ def main(argv=None):
         "num_merged_tracks": res.stats["num_merged_tracks"],
         "ate_odometry_m": round(ate(res.base.trajectory), 4),
         "ate_final_m": round(ate(res.trajectory), 4),
-        "wall_breakdown": {k: res.stats[k] for k in
+        "wall_breakdown": {k: res.stats.get(k) for k in
                            ("wall_replay_s", "wall_recognition_s",
+                            "wall_span_rounds_s",
+                            "wall_joint_confirm_s", "num_joint_solves",
                             "wall_pgo_s", "wall_refine_s")},
         "recognition_scan_wall_by_K": prefix_walls,
         "peak_hbm_mib": mem_peak(),
