@@ -48,7 +48,6 @@ fixed-shape SoA tensors):
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Dict, List, NamedTuple, Optional, Tuple
 
 import jax
@@ -58,7 +57,7 @@ import numpy as np
 from .. import geometry as geo
 from ..config import SlamConfig, bucket_for
 from ..hostgeom import Pose
-from ..ops.schur_ba import BAStats, lines_gn_impl, local_ba_impl
+from ..ops.schur_ba import lines_gn_impl, local_ba_impl
 from ..ops.triangulate import triangulate_lines
 from ..ops.vo_pipeline import vo_body
 

@@ -25,7 +25,7 @@ the matrix-free solvers (ops/schur_cg.py) with no dense V^2 term.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+from typing import Dict, List, Optional, Set
 
 import jax
 import jax.numpy as jnp
@@ -33,7 +33,7 @@ import numpy as np
 
 from .. import geometry as geo
 from ..config import SlamConfig, bucket_for
-from ..hostgeom import Pose, angle_normvec, line_from_pose, line_to_pose, \
+from ..hostgeom import Pose, line_from_pose, line_to_pose, \
     normalize, rotation_angle, skew
 from ..ops.pose_graph import pose_graph_opt
 from ..ops.schur_ba import staged_local_ba

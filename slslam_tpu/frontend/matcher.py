@@ -19,7 +19,7 @@ All descriptor similarity matrices are single device matmuls.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -33,7 +33,6 @@ Shapes are static; callers pad to capacity buckets (config.bucket_for).
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

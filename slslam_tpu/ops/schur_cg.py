@@ -30,7 +30,6 @@ A 2000-camera / 16k-line / 200k-obs global solve fits in ~50 MB of HBM.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -13,7 +13,6 @@ instead of three.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
