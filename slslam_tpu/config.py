@@ -157,9 +157,13 @@ class SlamConfig:
     # multi-meter drift; measured r4).  A few parallel 4x4 GN steps land
     # the line blocks in their basin first.  No reference analog: Ceres
     # re-solves from scratch each window and eats the iterations instead.
-    # Applied only to lines qualifying for BA for the FIRST time, and
-    # skipped at runtime on frames with none (2 iterations measured
-    # 1.21% myungdong worst-seed vs 0.99% at 4 — the full 4 stay).
+    # Applied to ALL lines qualifying for BA, every window: restricting
+    # it to first-time-qualifying lines was tried (r4) and REJECTED —
+    # the joint LM shares its iterations between cameras and lines, and
+    # dropping the continuous staged line polish drove the interactive
+    # engine's mapped-landmark median 0.02 -> 0.19 m off-world (see
+    # engine/batch.py).  2 iterations measured 1.21% myungdong
+    # worst-seed vs 0.99% at 4 — the full 4 stay.
     lines_gn_iters: int = 4
     # 4-DoF line parameterization used by the solvers: "orth" (production,
     # gc.cpp:361-460), "aid" or "asd" (the study's alternatives,

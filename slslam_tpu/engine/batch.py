@@ -525,11 +525,21 @@ def _make_step(cfg: SlamConfig, Wn: int, Lp: int, Om: int, Rm: int,
                                           dtype),
                               jnp.asarray(cfg.window_anchor_sigma_t,
                                           dtype))
+                # assembly="blocked": ob/ocam are camera-major contiguous
+                # by construction (the reshape above), which turns the
+                # normal-equation assembly into per-camera reshape-sums +
+                # one batched (Om x L) matmul per camera instead of an
+                # (O, C*L) one-hot — the one-hot's ~105 MB materialization
+                # per LM evaluation made the scan bandwidth-bound and
+                # multi-sequence lanes (dispatch_many) scale linearly
+                # instead of riding free (r5 probe)
                 cam_out, line_out, stats = local_ba_impl(
                     win_pose, line_p4, ob, ocam, olin, ovalid, cam_free,
                     qualify, baseline, huber_delta, robust=cfg.robust,
                     max_iters=cfg.max_num_iter, line_param=cfg.line_param,
-                    cam_anchor_sigmas=anchor)
+                    cam_anchor_sigmas=anchor,
+                    assembly=("blocked"
+                              if jax.default_backend() != "cpu" else None))
 
                 win_pose = jnp.where(cam_valid[:, None], cam_out, win_pose)
                 lm_line = jnp.where(qualify[..., None], dec(line_out),
@@ -690,6 +700,34 @@ class BatchSlam:
             BatchSlam._runner_cache[sig] = run
         return BatchSlam._runner_cache[sig]
 
+    def _runner_many(self, S, Wn, Lp, Om, Rm, Fmax):
+        """vmapped scan: S independent sequences in ONE dispatch.
+
+        The per-frame problems are far below MXU scale (the dense window
+        solve measures 0.13% of the chip's matmul ceiling,
+        tools/mxu_util.py), so lanes are nearly free: one batched scan
+        carries S sequences for about the wall of the slowest one,
+        instead of S serial replays (VERDICT r4 item 1).  Under vmap the
+        keyframe lax.cond runs both branches for every lane — acceptable
+        on replay workloads where (nearly) every frame is a keyframe;
+        gate-heavy sequences should prefer serial dispatch().  All lanes
+        share the RANSAC key stream (exactly like serial replays of the
+        same engine — the data differ per lane, the sampled hypothesis
+        indices coincide).
+        """
+        sig = ("many", S, self.cfg, self.dtype, Wn, Lp, Om, Rm, Fmax)
+        if sig not in BatchSlam._runner_cache:
+            base_key = jax.random.PRNGKey(self.cfg.rseed)
+            step = _make_step(self.cfg, Wn, Lp, Om, Rm, Fmax, self.dtype,
+                              base_key)
+
+            def run_one(carry, xs):
+                return jax.lax.scan(step, carry, xs)
+
+            BatchSlam._runner_cache[sig] = jax.jit(
+                jax.vmap(run_one, in_axes=(None, 0)))
+        return BatchSlam._runner_cache[sig]
+
     def run(self, frames: List[Dict[int, np.ndarray]],
             frame_ids: Optional[List[int]] = None,
             normalized: bool = True,
@@ -742,7 +780,14 @@ class BatchSlam:
               jnp.asarray(pack.retire_valid),
               jnp.asarray(pack.frame_idx))
 
-        carry0 = BatchCarry(
+        carry0 = self._carry0(Wn, Lp, Om, Fmax)
+
+        run = self._runner(Wn, Lp, Om, Rm, Fmax)
+        carry, ys = run(carry0, xs)
+        return (carry, ys, pack, Lcap)
+
+    def _carry0(self, Wn, Lp, Om, Fmax) -> BatchCarry:
+        return BatchCarry(
             kf_count=jnp.asarray(0, jnp.int32),
             fail_streak=jnp.asarray(0, jnp.int32),
             lm_line=jnp.zeros((Lp, 6), self.dtype),
@@ -762,9 +807,78 @@ class BatchSlam:
             sum_final_cost=jnp.asarray(0.0, self.dtype),
             n_processed=jnp.asarray(0, jnp.int32))
 
-        run = self._runner(Wn, Lp, Om, Rm, Fmax)
+    def run_many(self, seqs: List[List[Dict[int, np.ndarray]]],
+                 normalized: bool = True,
+                 lifetime: Optional[int] = None) -> List[BatchResult]:
+        return self.collect_many(self.dispatch_many(
+            seqs, normalized=normalized, lifetime=lifetime))
+
+    def dispatch_many(self, seqs: List[List[Dict[int, np.ndarray]]],
+                      normalized: bool = True,
+                      lifetime: Optional[int] = None):
+        """Enqueue S independent sequence replays as ONE vmapped scan.
+
+        Shapes are unified across sequences (max frame count, shared
+        observation/landmark/retirement buckets); shorter sequences pad
+        with empty frames (the scan's skip branch).  Returns a handle for
+        ``collect_many``.  See ``_runner_many`` for the cost model.
+        """
+        cfg = self.cfg
+        if not normalized:
+            seqs = [normalize_frames(f, cfg.camera) for f in seqs]
+        packs = [pack_frames(f, window=cfg.ba_window_size,
+                             lifetime=lifetime) for f in seqs]
+        S = len(packs)
+        Wn = 2 * cfg.ba_window_size
+        need = max(p.num_slots for p in packs)
+        Lcap = self.lm_capacity or bucket_for(need, cfg.line_buckets)
+        if need > Lcap:
+            raise ValueError(
+                f"a sequence needs {need} live landmark slots "
+                f"> capacity {Lcap}; raise lm_capacity")
+        Lp = Lcap + 1
+        Om = bucket_for(max(p.obs.shape[1] for p in packs),
+                        cfg.obs_buckets)
+        Rm = max(p.retire_slot.shape[1] for p in packs)
+        Fs = [len(f) for f in seqs]
+        Fmax = max(Fs)
+
+        def pad2(a, M, fill=0):
+            out = np.full((Fmax, M) + a.shape[2:], fill, dtype=a.dtype)
+            out[:a.shape[0], :a.shape[1]] = a
+            return out
+
+        def pad1(a, fill=0):
+            out = np.full((Fmax,), fill, dtype=a.dtype)
+            out[:a.shape[0]] = a
+            return out
+
+        xs = (
+            jnp.asarray(np.stack([pad2(p.obs, Om) for p in packs]),
+                        self.dtype),
+            jnp.asarray(np.stack([pad2(p.slot, Om) for p in packs])),
+            jnp.asarray(np.stack([pad2(p.valid, Om, fill=False)
+                                  for p in packs])),
+            jnp.asarray(np.stack([pad2(p.retire_slot, Rm)
+                                  for p in packs])),
+            jnp.asarray(np.stack([pad2(p.retire_valid, Rm, fill=False)
+                                  for p in packs])),
+            jnp.asarray(np.stack([pad1(p.frame_idx) for p in packs])),
+        )
+        carry0 = self._carry0(Wn, Lp, Om, Fmax)
+        run = self._runner_many(S, Wn, Lp, Om, Rm, Fmax)
         carry, ys = run(carry0, xs)
-        return (carry, ys, pack, Lcap)
+        return (carry, ys, packs, Lcap, Fs)
+
+    def collect_many(self, handle) -> List[BatchResult]:
+        carry, ys, packs, Lcap, Fs = handle
+        carry, ys = jax.device_get((carry, ys))
+        out = []
+        for s, pack in enumerate(packs):
+            c_s = BatchCarry(*(np.asarray(x)[s] for x in carry))
+            y_s = BatchStepOut(*(np.asarray(x)[s][:Fs[s]] for x in ys))
+            out.append(self._collect(c_s, y_s, pack, Lcap))
+        return out
 
     def collect(self, handle) -> BatchResult:
         carry, ys, pack, Lcap = handle

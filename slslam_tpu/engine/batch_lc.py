@@ -243,142 +243,195 @@ def _solve_span_round(cands, frames, kf_idx, cfg: SlamConfig, dtype,
     return results
 
 
-def _span_joint_resolve(span, frames, kf_idx, traj, cfg: SlamConfig,
-                        dtype, init_edge=None):
-    """Joint re-solve of a span whose representatives were all rejected
-    (VERDICT r3 item 3 / olympic4f).
+class _JointPrep:
+    """Host-packed joint multi-keyframe problem for one span (the packing
+    part of the r4 _span_joint_resolve; see _joint_confirm_jobs for the
+    recipe and measurements)."""
 
-    With ``init_edge=(old_k, k, wt)`` (edge-polish mode): the span
-    already has a verified 2-view edge; stages 1-2 are skipped and the
-    joint BA polishes from that transform — upgrading every accepted
-    span's edge from the weak-mode-prone 2-view estimate to the
-    multi-keyframe joint one.
+    def __init__(self, span, frames, kf_idx, traj, cfg: SlamConfig):
+        self.span = span
+        self.old_ks = sorted({c[1] for c in span})
+        self.new_ks = sorted({c[0] for c in span})
+        self.cams = self.old_ks + self.new_ks
+        self.cam_of = {g: i for i, g in enumerate(self.cams)}
+        self.gauge = traj[self.old_ks[0]]
+        # pose of camera g (world->cam) in the gauge frame
+        self.cam_wt = np.stack([(traj[g].inv() @ self.gauge).wt()
+                                for g in self.cams])
+        self.Qg = {g: traj[g].inv() @ traj[self.new_ks[0]]
+                   for g in self.new_ks}
+        self.M_odo = traj[self.new_ks[0]].inv() @ traj[self.old_ks[0]]
 
-    Returns None when the solve could not be ATTEMPTED (too few pairs,
-    non-finite result); otherwise a 7-tuple whose last element
-    ``vote_ok`` reports whether the joint estimate passed the inlier
-    vote — a False vote on an edge-polish call is evidence AGAINST the
-    2-view edge (the multi-view geometry refutes it), which the caller
-    acts on.
-
-    The 2-camera representative solve fails on weak-mode spans: one
-    stereo pair per side leaves a translation direction nearly
-    unobservable, and the solved edge lands meters off along it (the
-    olympic4f terminal edge was 9.5 m wrong despite a 40/60 refit inlier
-    vote, so the drift gate — correctly — rejected it; PERF_HISTORY r3).
-    Recipe (each stage measured on the olympic4f proxy, r4):
-
-      1. the matched lines are reconstructed INDEPENDENTLY in each
-         group — a lines-only multi-view BA with cameras fixed at the
-         trusted in-group odometry (the groups each span several
-         keyframes, so line depth comes from meters of baseline instead
-         of the 0.12 m stereo pair);
-      2. the two line clouds are aligned by RANSAC: direction Wahba +
-         closest-point projector least-squares on sampled line triples,
-         sign-disambiguated by the odometry rotation, every candidate
-         scored by IMAGE-SPACE reprojection inliers of the new-side
-         observations against the old cloud in one batched residual
-         call.  (A direct joint BA from the odometry init stalls in a
-         split-the-difference local minimum — the free lines absorb the
-         misalignment under Huber's flat tails — and a weak
-         cross-group odometry prior pins the solve AT odometry, because
-         6+ m of genuine drift costs more prior than the Huber-crushed
-         misfit saves: measured n_final 20-30/72 for every such
-         variant vs 49/72 for this recipe, whose best alignment landed
-         0.97 m from ground truth);
-      3. a joint BA over all cameras + free lines polishes from the
-         aligned init, with STRONG priors on the in-group odometry
-         edges and NO cross-group prior; the acceptance vote (per-pair
-         reprojection across both groups) and the caller's drift gate
-         then decide.
-
-    Returns (old_rep, new_rep, wt, inl_pairs, n_final, n) or None.
-    """
-    from ..hostgeom import av_to_orth_np, orth_to_av_np
-    from ..ops.residuals import lba_residual_batch
-    from ..ops.schur_ba import local_ba
-    from ..ops.schur_cg import global_ba_cg, pack_line_major
-
-    old_ks = sorted({c[1] for c in span})
-    new_ks = sorted({c[0] for c in span})
-    cams = old_ks + new_ks
-    cam_of = {g: i for i, g in enumerate(cams)}
-    gauge = traj[old_ks[0]]
-
-    # pose of camera g (world->cam) in the gauge frame
-    cam_wt = np.stack([(traj[g].inv() @ gauge).wt() for g in cams])
-
-    line_ids: List[int] = []
-    line_of: Dict[int, int] = {}
-    line_first: Dict[int, Tuple[int, np.ndarray]] = {}  # of -> (cam, obs8)
-    rows, ocam, olin = [], [], []
-    pair_rows: Dict[Tuple[int, int], List[int]] = {}    # (nf, of) -> rows
-    row_of: Dict[Tuple[int, int, int], int] = {}        # (cam, fid, line)
-    for (k, old_k, match) in span:
-        fr_new, fr_old = frames[kf_idx[k]], frames[kf_idx[old_k]]
-        for nf, of in match.items():
-            if nf not in fr_new or of not in fr_old:
-                continue
-            li = line_of.get(of)
-            if li is None:
-                li = line_of[of] = len(line_ids)
-                line_ids.append(of)
-                line_first[of] = (old_k, fr_old[of])
-            for g, fid, o8 in ((old_k, of, fr_old[of]),
-                               (k, nf, fr_new[nf])):
-                key = (g, fid, li)
-                ri = row_of.get(key)
-                if ri is None:
-                    ri = row_of[key] = len(rows)
-                    rows.append(o8)
-                    ocam.append(cam_of[g])
-                    olin.append(li)
-                pair_rows.setdefault((nf, of), []).append(ri)
-    n = len(pair_rows)
-    if n < max(cfg.lc_min_inliers, cfg.ransac_min_sample):
-        return None
-
-    # device shapes are padded to buckets throughout, so repeated spans
-    # reuse a handful of compiled kernels instead of one per span shape
-    C, L = len(cams), len(line_ids)
-    Lb = bucket_for(L, cfg.line_buckets)
-
-    # ---- stage 1: per-group multi-view line fits (cams fixed at the
-    # in-group odometry, lines free) ----
-    def fit_group(grp, side):
-        gidx = {g: i for i, g in enumerate(grp)}
-        loc = traj[grp[0]]
-        Gb = bucket_for(len(grp), cfg.cam_buckets)
-        cw = np.zeros((Gb, 6))
-        cw[:len(grp)] = np.stack([(traj[g].inv() @ loc).wt()
-                                  for g in grp])
-        rws, oc_l, ol_l = [], [], []
-        seen_go = set()
+        line_ids: List[int] = []
+        line_of: Dict[int, int] = {}
+        line_first: Dict[int, Tuple[int, np.ndarray]] = {}
+        rows, ocam, olin = [], [], []
+        pair_rows: Dict[Tuple[int, int], List[int]] = {}
+        row_of: Dict[Tuple[int, int, int], int] = {}
         for (k, old_k, match) in span:
             fr_new, fr_old = frames[kf_idx[k]], frames[kf_idx[old_k]]
             for nf, of in match.items():
                 if nf not in fr_new or of not in fr_old:
                     continue
-                li = line_of[of]
-                g, o8 = ((old_k, fr_old[of]) if side == "old"
-                         else (k, fr_new[nf]))
-                if (g, li) in seen_go:
+                li = line_of.get(of)
+                if li is None:
+                    li = line_of[of] = len(line_ids)
+                    line_ids.append(of)
+                    line_first[of] = (old_k, fr_old[of])
+                for g, fid, o8 in ((old_k, of, fr_old[of]),
+                                   (k, nf, fr_new[nf])):
+                    key = (g, fid, li)
+                    ri = row_of.get(key)
+                    if ri is None:
+                        ri = row_of[key] = len(rows)
+                        rows.append(o8)
+                        ocam.append(self.cam_of[g])
+                        olin.append(li)
+                    pair_rows.setdefault((nf, of), []).append(ri)
+        self.line_ids = line_ids
+        self.line_of = line_of
+        self.line_first = line_first
+        self.rows = np.asarray(rows).reshape(-1, 8)
+        self.ocam = np.asarray(ocam, np.int32)
+        self.olin = np.asarray(olin, np.int32)
+        self.pair_rows = pair_rows
+        self.n = len(pair_rows)
+        self.C = len(self.cams)
+        self.L = len(line_ids)
+        self.min_score = max(cfg.lc_min_inliers,
+                             int(np.ceil(cfg.lc_min_inlier_ratio
+                                         * max(self.n, 1))))
+
+@functools.partial(
+    jax.jit, static_argnames=("robust", "max_iters", "line_param"))
+def _group_fit_many(cam, line, obs, ocam, olin, ovalid, lfree, baseline,
+                    huber_delta, *, robust, max_iters, line_param):
+    """All spans' per-group lines-only BAs in ONE dispatch (cameras fixed
+    at the in-group odometry)."""
+    from ..ops.schur_ba import local_ba_impl
+
+    def one(c, l, o, oc, ol, ov, lf):
+        cfree = jnp.zeros(c.shape[0], bool)
+        return local_ba_impl(c, l, o, oc, ol, ov, cfree, lf, baseline,
+                             huber_delta, robust=robust,
+                             max_iters=max_iters, line_param=line_param)
+
+    return jax.vmap(one)(cam, line, obs, ocam, olin, ovalid, lfree)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("robust", "max_iters", "cg_iters",
+                              "line_param"))
+def _joint_polish_many(cam, line, obs, ocam, ovalid, cperm, cpermv, cfree,
+                      lfree, ei, ej, ec, esig, baseline, huber_delta, *,
+                      robust, max_iters, cg_iters, line_param):
+    """All confirm lanes' joint BA polishes in ONE dispatch.  r4 ran
+    each span's joint solve serially — ~3.6-4 s of latency-bound CG steps
+    each, 64 of the 93 s 1000-keyframe wall (VERDICT r4 item 2); the
+    lanes are independent fixed-shape problems, so they ride one vmapped
+    call for about the wall of the slowest lane."""
+    from ..ops.schur_cg import global_ba_cg_impl
+
+    def one(c, l, o, oc, ov, cp, cpv, cf, lf, i1, j1, c1, s1):
+        return global_ba_cg_impl(
+            c, l, o, oc, ov, cp, cpv, cf, lf, baseline, huber_delta,
+            robust=robust, max_iters=max_iters, cg_iters=cg_iters,
+            line_param=line_param, prior_edges=(i1, j1, c1, s1))
+
+    return jax.vmap(one)(cam, line, obs, ocam, ovalid, cperm, cpermv,
+                         cfree, lfree, ei, ej, ec, esig)
+
+
+@dataclasses.dataclass
+class _LaneResult:
+    init_name: str            # "edge" | "aligned" | "odometry"
+    old_rep: int
+    k_rep: int
+    wt: np.ndarray            # (6,) joint-estimate loop edge
+    inl_pairs: Dict[int, int]
+    n_final: int
+    n: int
+    vote_ok: bool
+
+
+def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
+    """Stage 1 for every rescue span: both groups' multi-view line fits
+    (cameras fixed at the in-group odometry, lines free), all in one
+    vmapped dispatch.  Returns {prep_idx: (lines_A, cntA, lines_B, cntB)}
+    — lines in each group's LOCAL frame (group's first keyframe).
+
+    The groups each span several keyframes, so line depth comes from
+    meters of baseline instead of the 0.12 m stereo pair (the 2-camera
+    representative solve fails on weak-mode spans: one stereo pair per
+    side leaves a translation direction nearly unobservable — the
+    olympic4f terminal edge was 9.5 m wrong despite a 40/60 refit vote).
+    """
+    from ..hostgeom import av_to_orth_np, orth_to_av_np
+
+    jobs = []   # (prep_idx, side, grp, cw, rws, oc, ol, cnt, init)
+    for pi, prep in preps:
+        for side in ("old", "new"):
+            grp = prep.old_ks if side == "old" else prep.new_ks
+            gidx = {g: i for i, g in enumerate(grp)}
+            loc = traj[grp[0]]
+            cw = np.stack([(traj[g].inv() @ loc).wt() for g in grp])
+            # group rows: this side's packed observation rows, deduped
+            # per (camera, line) — the solvers' unique-pair invariant
+            side_rows = []
+            seen_go = set()
+            for ri in range(len(prep.rows)):
+                if (prep.ocam[ri] >= len(prep.old_ks)) != (side == "new"):
                     continue
-                seen_go.add((g, li))
-                rws.append(o8)
-                oc_l.append(gidx[g])
-                ol_l.append(li)
-        rws = np.asarray(rws).reshape(-1, 8)
-        oc_l = np.asarray(oc_l, np.int32)
-        ol_l = np.asarray(ol_l, np.int32)
+                key = (int(prep.ocam[ri]), int(prep.olin[ri]))
+                if key in seen_go:
+                    continue
+                seen_go.add(key)
+                side_rows.append(ri)
+            rws = prep.rows[side_rows]
+            oc_l = np.asarray([gidx[prep.cams[prep.ocam[ri]]]
+                               for ri in side_rows], np.int32)
+            ol_l = prep.olin[side_rows]
+            jobs.append((pi, side, grp, cw, rws, oc_l, ol_l))
+
+    if not jobs:
+        return {}
+
+    Gb = bucket_for(max(len(j[2]) for j in jobs), cfg.cam_buckets)
+    Lb = bucket_for(max(p.L for _, p in preps), cfg.line_buckets)
+    Ob = bucket_for(max(len(j[4]) for j in jobs), cfg.obs_buckets)
+    S = bucket_for(len(jobs), _SPAN_BUCKETS)
+
+    # one batched triangulation for every job's line inits
+    tri_cat = np.asarray(triangulate_lines(
+        jnp.asarray(np.concatenate([j[4] for j in jobs]), dtype),
+        cfg.camera.baseline, inverse_depth=cfg.inverse_depth), np.float64)
+
+    cam_b = np.zeros((S, Gb, 6))
+    line_b = np.zeros((S, Lb, 4))
+    line_b[:, :, 3] = 0.5
+    obs_b = np.zeros((S, Ob, 8))
+    oc_b = np.zeros((S, Ob), np.int32)
+    ol_b = np.zeros((S, Ob), np.int32)
+    ov_b = np.zeros((S, Ob), bool)
+    lf_b = np.zeros((S, Lb), bool)
+    cnts = []
+    pos = 0
+    for s, (pi, side, grp, cw, rws, oc_l, ol_l) in enumerate(jobs):
+        nr = len(rws)
+        tri = tri_cat[pos:pos + nr]
+        pos += nr
+        cam_b[s, :len(grp)] = cw
+        obs_b[s, :nr] = rws
+        oc_b[s, :nr] = oc_l
+        ol_b[s, :nr] = ol_l
+        ov_b[s, :nr] = True
         cnt = np.bincount(ol_l, minlength=Lb)
+        cnts.append(cnt)
+        lf_b[s] = cnt > 0
         init = np.zeros((Lb, 6))
         init[:, 5] = 1.0
-        tri = np.asarray(triangulate_lines(
-            jnp.asarray(rws, dtype), cfg.camera.baseline,
-            inverse_depth=cfg.inverse_depth), np.float64)
         seenl = set()
-        for i in range(len(rws)):
+        for i in range(nr):
             li = int(ol_l[i])
             if li in seenl:
                 continue
@@ -386,216 +439,378 @@ def _span_joint_resolve(span, frames, kf_idx, traj, cfg: SlamConfig,
             P = Pose.from_wt(cw[oc_l[i]]).inv()
             init[li, :3] = P.R @ tri[i, :3] + P.t
             init[li, 3:] = P.R @ tri[i, 3:]
-        lfree = cnt > 0
-        Ob = bucket_for(len(rws), cfg.obs_buckets)
-        rws_p = np.zeros((Ob, 8))
-        rws_p[:len(rws)] = rws
-        oc_p = np.zeros(Ob, np.int32)
-        oc_p[:len(rws)] = oc_l
-        ol_p = np.zeros(Ob, np.int32)
-        ol_p[:len(rws)] = ol_l
-        ov_p = np.zeros(Ob, bool)
-        ov_p[:len(rws)] = True
-        _, line_out, _ = local_ba(
-            jnp.asarray(cw, dtype),
-            jnp.asarray(av_to_orth_np(init), dtype),
-            jnp.asarray(rws_p, dtype), jnp.asarray(oc_p),
-            jnp.asarray(ol_p), jnp.asarray(ov_p),
-            jnp.asarray(np.zeros(Gb, bool)), jnp.asarray(lfree),
-            jnp.asarray(cfg.camera.baseline, dtype),
-            jnp.asarray(cfg.huber_delta, dtype),
-            robust=True, max_iters=max(cfg.max_num_iter, 25))
-        return orth_to_av_np(np.asarray(line_out, np.float64)), cnt
+        line_b[s] = av_to_orth_np(init)
+    # padding lanes re-solve lane 0 (masked out on the host side)
+    for s in range(len(jobs), S):
+        cam_b[s], line_b[s], obs_b[s] = cam_b[0], line_b[0], obs_b[0]
+        oc_b[s], ol_b[s], ov_b[s], lf_b[s] = (oc_b[0], ol_b[0], ov_b[0],
+                                              lf_b[0])
 
-    Qg = {g: traj[g].inv() @ traj[new_ks[0]] for g in new_ks}
-    M_odo = traj[new_ks[0]].inv() @ traj[old_ks[0]]
+    _, line_out, _ = _group_fit_many(
+        jnp.asarray(cam_b, dtype), jnp.asarray(line_b, dtype),
+        jnp.asarray(obs_b, dtype), jnp.asarray(oc_b), jnp.asarray(ol_b),
+        jnp.asarray(ov_b), jnp.asarray(lf_b),
+        jnp.asarray(cfg.camera.baseline, dtype),
+        jnp.asarray(cfg.huber_delta, dtype),
+        robust=True, max_iters=max(cfg.max_num_iter, 25),
+        line_param=cfg.line_param)
+    line_out = np.asarray(line_out, np.float64)
 
-    if init_edge is not None:
-        # edge-polish mode: the span already has a verified 2-view edge;
-        # skip the cloud fits + RANSAC and polish from it directly
-        e_old, e_new, e_wt = init_edge
-        S_best = (Qg[e_new].inv() @ Pose.from_wt(np.asarray(e_wt))
-                  @ (traj[e_old].inv() @ gauge))
-    else:
-        lines_A, cntA = fit_group(old_ks, "old")
-        lines_B, cntB = fit_group(new_ks, "new")
+    out = {}
+    for s, (pi, side, grp, cw, rws, oc_l, ol_l) in enumerate(jobs):
+        lines = orth_to_av_np(line_out[s])
+        cur = out.setdefault(pi, [None, None, None, None])
+        if side == "old":
+            cur[0], cur[1] = lines, cnts[s]
+        else:
+            cur[2], cur[3] = lines, cnts[s]
+    return {pi: tuple(v) for pi, v in out.items()}
 
-        # ---- stage 2: RANSAC line-cloud alignment X_B = S(X_A) ----
-        nzA = np.linalg.norm(lines_A[:, 3:], axis=1)
-        nzB = np.linalg.norm(lines_B[:, 3:], axis=1)
-        usable = (cntA > 0) & (cntB > 0) & (nzA > 1e-9) & (nzB > 1e-9)
-        vA = lines_A[:, 3:] / np.maximum(nzA, 1e-30)[:, None]
-        vB = lines_B[:, 3:] / np.maximum(nzB, 1e-30)[:, None]
-        aA, aB = lines_A[:, :3], lines_B[:, :3]
 
-        def fit_S(idx, w=None):
-            if w is None:
-                w = np.ones(len(idx))
-            R = M_odo.R
-            t = M_odo.t
-            for _ in range(2):
-                s = np.sign(np.sum(np.einsum("ij,nj->ni", R, vA[idx])
-                                   * vB[idx], axis=1))
-                s[s == 0] = 1.0
-                Mw = np.einsum("n,ni,nj->ij", w * s, vB[idx], vA[idx])
-                try:
-                    U, _, Vt = np.linalg.svd(Mw)
-                except np.linalg.LinAlgError:
-                    return None
-                R = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
-                P = (np.eye(3)[None]
-                     - vB[idx][:, :, None] * vB[idx][:, None, :])
-                A_t = np.einsum("n,nij->ij", w, P)
-                b_t = np.einsum("n,nij,nj->i", w, P,
-                                aB[idx] - np.einsum("ij,nj->ni", R,
-                                                    aA[idx]))
-                try:
-                    t = np.linalg.solve(A_t, b_t)
-                except np.linalg.LinAlgError:
-                    return None
-            if not (np.isfinite(t).all() and np.isfinite(R).all()):
+def _ransac_align(prep: "_JointPrep", linesA, cntA, linesB, cntB,
+                  cfg: SlamConfig):
+    """Stage 2: RANSAC line-cloud alignment X_B = S(X_A) — direction
+    Wahba + closest-point projector least-squares on sampled line
+    triples, sign-disambiguated by the odometry rotation.  Returns the
+    candidate list (odometry-implied appended as the fallback) and the
+    scoring rows; the caller scores ALL spans' candidates in one batched
+    residual call and argmaxes per span.
+
+    (A direct joint BA from the odometry init stalls in a
+    split-the-difference local minimum — the free lines absorb the
+    misalignment under Huber's flat tails — and a weak cross-group
+    odometry prior pins the solve AT odometry: measured n_final 20-30/72
+    for every such variant vs 49/72 for this recipe, whose best
+    alignment landed 0.97 m from ground truth; PERF_HISTORY r4.)
+    """
+    M_odo = prep.M_odo
+    nzA = np.linalg.norm(linesA[:, 3:], axis=1)
+    nzB = np.linalg.norm(linesB[:, 3:], axis=1)
+    usable = (cntA > 0) & (cntB > 0) & (nzA > 1e-9) & (nzB > 1e-9)
+    vA = linesA[:, 3:] / np.maximum(nzA, 1e-30)[:, None]
+    vB = linesB[:, 3:] / np.maximum(nzB, 1e-30)[:, None]
+    aA, aB = linesA[:, :3], linesB[:, :3]
+
+    def fit_S(idx, w=None):
+        if w is None:
+            w = np.ones(len(idx))
+        R = M_odo.R
+        t = M_odo.t
+        for _ in range(2):
+            s = np.sign(np.sum(np.einsum("ij,nj->ni", R, vA[idx])
+                               * vB[idx], axis=1))
+            s[s == 0] = 1.0
+            Mw = np.einsum("n,ni,nj->ij", w * s, vB[idx], vA[idx])
+            try:
+                U, _, Vt = np.linalg.svd(Mw)
+            except np.linalg.LinAlgError:
                 return None
-            return Pose(R, t)
-
-        strong = np.flatnonzero(usable & (cntA >= 2) & (cntB >= 2))
-        pool = strong if len(strong) >= 3 else np.flatnonzero(usable)
-        if len(pool) < 3:
+            R = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
+            P = (np.eye(3)[None]
+                 - vB[idx][:, :, None] * vB[idx][:, None, :])
+            A_t = np.einsum("n,nij->ij", w, P)
+            b_t = np.einsum("n,nij,nj->i", w, P,
+                            aB[idx] - np.einsum("ij,nj->ni", R, aA[idx]))
+            try:
+                t = np.linalg.solve(A_t, b_t)
+            except np.linalg.LinAlgError:
+                return None
+        if not (np.isfinite(t).all() and np.isfinite(R).all()):
             return None
-        rng = np.random.default_rng(cfg.rseed ^ (0x5A11 + new_ks[0]))
-        cands_S = []
-        for _ in range(256):
-            S = fit_S(rng.choice(pool, 3, replace=False))
-            if S is not None:
-                cands_S.append(S)
-        S = fit_S(pool)
+        return Pose(R, t)
+
+    strong = np.flatnonzero(usable & (cntA >= 2) & (cntB >= 2))
+    pool = strong if len(strong) >= 3 else np.flatnonzero(usable)
+    if len(pool) < 3:
+        return None
+    rng = np.random.default_rng(cfg.rseed ^ (0x5A11 + prep.new_ks[0]))
+    cands_S = []
+    for _ in range(256):
+        S = fit_S(rng.choice(pool, 3, replace=False))
         if S is not None:
             cands_S.append(S)
-        cands_S.append(M_odo)        # odometry-implied as the fallback
-        J = len(cands_S)
+    S = fit_S(pool)
+    if S is not None:
+        cands_S.append(S)
+    cands_S.append(M_odo)            # odometry-implied as the fallback
+    return cands_S
 
-        # score every candidate by new-side image-space inliers vs cloud
-        # A (one batched residual dispatch, padded to a bucket)
-        new_rows = [ri for ri in range(len(rows))
-                    if ocam[ri] >= len(old_ks)]
+
+def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
+                        dtype, drift_ok):
+    """Confirm-or-drop for a BATCH of spans: every lane of every span in
+    one vmapped joint solve (r4 looped _span_joint_resolve per span —
+    VERDICT r4 item 2).
+
+    jobs: list of (span, init_edge-or-None).  Per span the lanes are:
+
+      * "edge"     — polish from the verified 2-view edge (if any);
+      * "aligned"  — polish from the RANSAC line-cloud alignment
+                     (rescue spans: stages 1-2, batched);
+      * "odometry" — polish from the odometry-implied alignment.  The
+        null hypothesis (VERDICT r4 item 3): an accepted closure must
+        explain the matched lines AT LEAST as well as this lane — a
+        closure whose joint vote loses to odometry has no evidence
+        behind its correction (myungdong seed 2's accepted edge added
+        0.36% of path through closure in r4), while a tie keeps the
+        odometry-consistent estimate, whose PGO correction is ~0.
+
+    Returns a list parallel to jobs: None when the span could not be
+    attempted (too few pairs / no usable alignment / non-finite solves),
+    else (lanes: List[_LaneResult], winner_index-or-None).  The winner
+    is the highest joint vote among lanes passing vote + drift gates,
+    ties to the non-odometry lane order.
+    """
+    from ..hostgeom import av_to_orth_np
+    from ..ops.residuals import lba_residual_batch
+    from ..ops.schur_cg import pack_line_major
+
+    n_jobs = len(jobs)
+    min_attempt = max(cfg.lc_min_inliers, cfg.ransac_min_sample)
+    preps: List[Optional[_JointPrep]] = []
+    for (span, _) in jobs:
+        p = _JointPrep(span, frames, kf_idx, traj, cfg)
+        preps.append(p if p.n >= min_attempt else None)
+
+    # ---- stages 1-2 (rescue spans only): group fits + RANSAC align ----
+    rescue = [(i, preps[i]) for i, (_, ie) in enumerate(jobs)
+              if preps[i] is not None and ie is None]
+    fits = _fit_group_problems(rescue, traj, cfg, dtype)
+    cand_lists = {}
+    score_parts = []            # (job_i, J, Rn, cw, lo, ob)
+    for i, prep in rescue:
+        f = fits.get(i)
+        if f is None or f[0] is None or f[2] is None:
+            continue
+        linesA, cntA, linesB, cntB = f
+        cands_S = _ransac_align(prep, linesA, cntA, linesB, cntB, cfg)
+        if cands_S is None:
+            continue
+        new_rows = [ri for ri in range(len(prep.rows))
+                    if prep.ocam[ri] >= len(prep.old_ks)]
         Rn = len(new_rows)
+        J = len(cands_S)
         cw_all = np.zeros((J, Rn, 6))
         for j, Sc in enumerate(cands_S):
             for r_i, ri in enumerate(new_rows):
-                cw_all[j, r_i] = (Qg[cams[ocam[ri]]] @ Sc).wt()
-        la = av_to_orth_np(lines_A)[
-            np.asarray([olin[ri] for ri in new_rows])]
-        obs_n = np.asarray([rows[ri] for ri in new_rows])
-        tot = J * Rn
+                cw_all[j, r_i] = (
+                    prep.Qg[prep.cams[prep.ocam[ri]]] @ Sc).wt()
+        la = av_to_orth_np(linesA)[prep.olin[new_rows]]
+        score_parts.append((i, J, Rn, cw_all.reshape(-1, 6),
+                            np.tile(la, (J, 1)),
+                            np.tile(prep.rows[new_rows], (J, 1))))
+        cand_lists[i] = cands_S
+    S_best = {}
+    if score_parts:
+        # ONE scoring dispatch for every rescue span's candidate list:
+        # image-space reprojection inliers of the new-side observations
+        # against the old cloud
+        cw_f = np.concatenate([p[3] for p in score_parts])
+        lo_f = np.concatenate([p[4] for p in score_parts])
+        ob_f = np.concatenate([p[5] for p in score_parts])
+        tot = len(cw_f)
         totb = -(-tot // 4096) * 4096
-        cw_f = np.zeros((totb, 6))
-        cw_f[:tot] = cw_all.reshape(-1, 6)
-        la_f = np.zeros((totb, 4))
-        la_f[:tot] = np.tile(la, (J, 1))
-        ob_f = np.zeros((totb, 8))
-        ob_f[:tot] = np.tile(obs_n, (J, 1))
-        r = lba_residual_batch(jnp.asarray(cw_f, dtype),
-                               jnp.asarray(la_f, dtype),
-                               jnp.asarray(ob_f, dtype),
+        pad = lambda a, w: (np.concatenate([a, np.zeros((totb - tot, w))])
+                            if totb > tot else a)
+        r = lba_residual_batch(jnp.asarray(pad(cw_f, 6), dtype),
+                               jnp.asarray(pad(lo_f, 4), dtype),
+                               jnp.asarray(pad(ob_f, 8), dtype),
                                cfg.camera.baseline)
-        err_c = np.abs(np.asarray(r, np.float64)[:tot]).max(
-            axis=1).reshape(J, Rn)
-        err_c = np.where(np.isfinite(err_c), err_c, np.inf)
-        S_best = cands_S[int(np.argmax(
-            (err_c < cfg.error_thr).sum(axis=1)))]
+        err_f = np.abs(np.asarray(r, np.float64)[:tot]).max(axis=1)
+        err_f = np.where(np.isfinite(err_f), err_f, np.inf)
+        pos = 0
+        for (i, J, Rn, _, _, _) in score_parts:
+            e = err_f[pos:pos + J * Rn].reshape(J, Rn)
+            pos += J * Rn
+            S_best[i] = cand_lists[i][int(np.argmax(
+                (e < cfg.error_thr).sum(axis=1)))]
 
-    # ---- stage 3: joint BA polish from the aligned init ----
-    Cb = bucket_for(C, cfg.cam_buckets)
-    cam_init = np.zeros((Cb, 6))
-    cam_init[:C] = cam_wt
-    for g in new_ks:
-        cam_init[cam_of[g]] = (Qg[g] @ S_best).wt()
-    first_obs = np.stack([line_first[of][1] for of in line_ids])
-    first_cam = np.asarray([cam_of[line_first[of][0]] for of in line_ids])
-    lines_cam = np.asarray(triangulate_lines(
-        jnp.asarray(first_obs, dtype), cfg.camera.baseline,
-        inverse_depth=cfg.inverse_depth), np.float64)
-    lines_g = np.zeros((Lb, 6))
-    lines_g[:, 5] = 1.0
-    for i in range(len(line_ids)):
-        P = Pose.from_wt(cam_init[first_cam[i]]).inv()   # cam -> gauge
-        lines_g[i, :3] = P.R @ lines_cam[i, :3] + P.t
-        lines_g[i, 3:] = P.R @ lines_cam[i, 3:]
+    # ---- stage 3: one vmapped joint polish over ALL lanes ----
+    lanes = []                  # (job_i, name, S alignment in gauge frame)
+    for i, (span, init_edge) in enumerate(jobs):
+        prep = preps[i]
+        if prep is None:
+            continue
+        if init_edge is not None:
+            e_old, e_new, e_wt = init_edge
+            lanes.append((i, "edge",
+                          prep.Qg[e_new].inv()
+                          @ Pose.from_wt(np.asarray(e_wt))
+                          @ (traj[e_old].inv() @ prep.gauge)))
+        elif i in S_best:
+            lanes.append((i, "aligned", S_best[i]))
+        lanes.append((i, "odometry", prep.M_odo))
+    if not lanes:
+        return [None] * n_jobs
 
-    # priors: strong consecutive odometry inside each group only (see
-    # docstring: a cross-group prior pins the solve at odometry); padded
-    # to a bucket with zero-weight self-edges
-    ei, ej, ec, esig = [], [], [], []
-    for grp in (old_ks, new_ks):
-        for a, b in zip(grp, grp[1:]):
-            ei.append(cam_of[a])
-            ej.append(cam_of[b])
-            ec.append((traj[b].inv() @ traj[a]).wt())
-            esig.append((0.01, 0.05))
-    Eb = max(8, -(-len(ei) // 8) * 8)
-    while len(ei) < Eb:
-        ei.append(0)
-        ej.append(0)
-        ec.append(np.zeros(6))
-        esig.append((1e9, 1e9))
+    act = sorted({i for i, _, _ in lanes})
+    ap = [preps[i] for i in act]
+    Cb = bucket_for(max(p.C for p in ap), cfg.cam_buckets)
+    Lb = bucket_for(max(p.L for p in ap), cfg.line_buckets)
+    rnd8 = lambda n: max(8, -(-n // 8) * 8)
+    kL = rnd8(max(int(np.bincount(p.olin).max()) for p in ap))
+    kC = rnd8(max(int(np.bincount(p.ocam).max()) for p in ap))
+    Eb = rnd8(max((len(p.old_ks) - 1) + (len(p.new_ks) - 1) for p in ap))
+    SL = bucket_for(len(lanes), _SPAN_BUCKETS)
 
-    p = pack_line_major(np.asarray(rows), np.asarray(ocam),
-                        np.asarray(olin), Cb, Lb)
-    cam_free = np.zeros(Cb, bool)
-    cam_free[1:C] = True
-    line_free = np.zeros(Lb, bool)
-    line_free[:L] = True
-    cam_out, line_out, _ = global_ba_cg(
-        jnp.asarray(cam_init, dtype),
-        jnp.asarray(av_to_orth_np(lines_g), dtype),
-        jnp.asarray(p.obs, dtype), jnp.asarray(p.obs_cam),
-        jnp.asarray(p.obs_valid), jnp.asarray(p.cam_perm),
-        jnp.asarray(p.cam_perm_valid), jnp.asarray(cam_free),
-        jnp.asarray(line_free),
+    # per-JOB layout, priors and line inits (shared by the job's lanes;
+    # the line init anchors at each line's FIRST observing camera, which
+    # is always an old-group camera — lane-independent)
+    packs, priors, line_inits, cfree_j, lfree_j = {}, {}, {}, {}, {}
+    tri_jobs = [(i, np.stack([preps[i].line_first[of][1]
+                              for of in preps[i].line_ids])) for i in act]
+    tri_cat = np.asarray(triangulate_lines(
+        jnp.asarray(np.concatenate([t for _, t in tri_jobs]), dtype),
+        cfg.camera.baseline, inverse_depth=cfg.inverse_depth), np.float64)
+    pos = 0
+    for i, first_obs in tri_jobs:
+        prep = preps[i]
+        packs[i] = pack_line_major(prep.rows, prep.ocam, prep.olin, Cb,
+                                   Lb, k_l=kL, k_c=kC)
+        ei, ej, ec, esig = [], [], [], []
+        for grp in (prep.old_ks, prep.new_ks):
+            for a, b in zip(grp, grp[1:]):
+                ei.append(prep.cam_of[a])
+                ej.append(prep.cam_of[b])
+                ec.append((traj[b].inv() @ traj[a]).wt())
+                esig.append((0.01, 0.05))   # strong in-group odometry
+        while len(ei) < Eb:
+            ei.append(0)
+            ej.append(0)
+            ec.append(np.zeros(6))
+            esig.append((1e9, 1e9))         # zero-weight padding
+        priors[i] = (np.asarray(ei, np.int32), np.asarray(ej, np.int32),
+                     np.stack(ec), np.asarray(esig))
+        tri = tri_cat[pos:pos + prep.L]
+        pos += prep.L
+        lines_g = np.zeros((Lb, 6))
+        lines_g[:, 5] = 1.0
+        first_cam = [prep.cam_of[prep.line_first[of][0]]
+                     for of in prep.line_ids]
+        for li in range(prep.L):
+            P = Pose.from_wt(prep.cam_wt[first_cam[li]]).inv()
+            lines_g[li, :3] = P.R @ tri[li, :3] + P.t
+            lines_g[li, 3:] = P.R @ tri[li, 3:]
+        line_inits[i] = av_to_orth_np(lines_g)
+        cf = np.zeros(Cb, bool)
+        cf[1:prep.C] = True
+        cfree_j[i] = cf
+        lf = np.zeros(Lb, bool)
+        lf[:prep.L] = True
+        lfree_j[i] = lf
+
+    cam_b = np.zeros((SL, Cb, 6))
+    line_b = np.zeros((SL, Lb, 4))
+    line_b[:, :, 3] = 0.5
+    obs_b = np.zeros((SL,) + packs[act[0]].obs.shape)
+    ocam_b = np.zeros((SL,) + packs[act[0]].obs_cam.shape, np.int32)
+    ovalid_b = np.zeros((SL,) + packs[act[0]].obs_valid.shape, bool)
+    cperm_b = np.zeros((SL,) + packs[act[0]].cam_perm.shape, np.int32)
+    cpermv_b = np.zeros((SL,) + packs[act[0]].cam_perm_valid.shape, bool)
+    cfree_b = np.zeros((SL, Cb), bool)
+    lfree_b = np.zeros((SL, Lb), bool)
+    ei_b = np.zeros((SL, Eb), np.int32)
+    ej_b = np.zeros((SL, Eb), np.int32)
+    ec_b = np.zeros((SL, Eb, 6))
+    esig_b = np.full((SL, Eb, 2), 1e9)
+    for s, (i, name, S) in enumerate(lanes):
+        prep = preps[i]
+        cam_init = np.zeros((Cb, 6))
+        cam_init[:prep.C] = prep.cam_wt
+        for g in prep.new_ks:
+            cam_init[prep.cam_of[g]] = (prep.Qg[g] @ S).wt()
+        cam_b[s] = cam_init
+        line_b[s] = line_inits[i]
+        p = packs[i]
+        obs_b[s], ocam_b[s], ovalid_b[s] = p.obs, p.obs_cam, p.obs_valid
+        cperm_b[s], cpermv_b[s] = p.cam_perm, p.cam_perm_valid
+        cfree_b[s], lfree_b[s] = cfree_j[i], lfree_j[i]
+        ei_b[s], ej_b[s], ec_b[s], esig_b[s] = priors[i]
+    for s in range(len(lanes), SL):   # padding lanes re-solve lane 0
+        for a in (cam_b, line_b, obs_b, ocam_b, ovalid_b, cperm_b,
+                  cpermv_b, cfree_b, lfree_b, ei_b, ej_b, ec_b, esig_b):
+            a[s] = a[0]
+
+    # 30 LM x 50 CG (not the 50x100 defaults): each polish starts inside
+    # its basin and the small reduced systems converge early
+    cam_out, line_out, _ = _joint_polish_many(
+        jnp.asarray(cam_b, dtype), jnp.asarray(line_b, dtype),
+        jnp.asarray(obs_b, dtype), jnp.asarray(ocam_b),
+        jnp.asarray(ovalid_b), jnp.asarray(cperm_b),
+        jnp.asarray(cpermv_b), jnp.asarray(cfree_b),
+        jnp.asarray(lfree_b), jnp.asarray(ei_b), jnp.asarray(ej_b),
+        jnp.asarray(ec_b), jnp.asarray(esig_b),
         jnp.asarray(cfg.camera.baseline, dtype),
         jnp.asarray(cfg.huber_delta, dtype),
         robust=cfg.robust, max_iters=30, cg_iters=50,
-        line_param=cfg.line_param,
-        prior_edges=(np.asarray(ei), np.asarray(ej), np.stack(ec),
-                     np.asarray(esig)))
-    # 30 LM x 50 CG: the polish starts inside its basin (aligned or
-    # edge-init), and the small reduced system converges early — at the
-    # 50x100 defaults each joint solve cost ~4 s of latency-bound CG
-    # steps (76 s of the 1000-kf scale wall; PERF_HISTORY r4)
+        line_param=cfg.line_param)
     cam_out = np.asarray(cam_out, np.float64)
-    if not np.all(np.isfinite(cam_out)):
-        return None
+    line_out = np.asarray(line_out, np.float64)
 
-    # per-pair acceptance under the joint estimate (max residual over all
-    # of the pair's observation rows; padded to a bucket)
-    nrows = len(rows)
-    Obv = bucket_for(nrows, cfg.obs_buckets)
-    cw_v = np.zeros((Obv, 6))
-    cw_v[:nrows] = cam_out[np.asarray(ocam)]
-    lo_v = np.zeros((Obv, 4))
-    lo_v[:nrows] = np.asarray(line_out, np.float64)[np.asarray(olin)]
-    ob_v = np.zeros((Obv, 8))
-    ob_v[:nrows] = np.asarray(rows)
-    r = lba_residual_batch(
-        jnp.asarray(cw_v, dtype), jnp.asarray(lo_v, dtype),
-        jnp.asarray(ob_v, dtype), cfg.camera.baseline)
-    err = np.abs(np.asarray(r, np.float64)[:nrows]).max(axis=1)
-    if not np.all(np.isfinite(err)):
-        err = np.where(np.isfinite(err), err, np.inf)
-    inl_pairs = {}
-    n_final = 0
-    for (nf, of), idxs in pair_rows.items():
-        if err[idxs].max() < cfg.error_thr:
-            n_final += 1
-            inl_pairs[nf] = of
-    min_score = max(cfg.lc_min_inliers,
-                    int(np.ceil(cfg.lc_min_inlier_ratio * n)))
-    vote_ok = n_final >= min_score
+    # ---- stage 4: one batched verification over every lane's rows ----
+    ver_parts = []
+    for s, (i, name, S) in enumerate(lanes):
+        prep = preps[i]
+        ver_parts.append((cam_out[s][prep.ocam],
+                          line_out[s][prep.olin], prep.rows))
+    cw_f = np.concatenate([p[0] for p in ver_parts])
+    lo_f = np.concatenate([p[1] for p in ver_parts])
+    ob_f = np.concatenate([p[2] for p in ver_parts])
+    tot = len(cw_f)
+    totb = -(-tot // 4096) * 4096
+    pad = lambda a, w: (np.concatenate([a, np.zeros((totb - tot, w))])
+                        if totb > tot else a)
+    r = lba_residual_batch(jnp.asarray(pad(cw_f, 6), dtype),
+                           jnp.asarray(pad(lo_f, 4), dtype),
+                           jnp.asarray(pad(ob_f, 8), dtype),
+                           cfg.camera.baseline)
+    err_f = np.abs(np.asarray(r, np.float64)[:tot]).max(axis=1)
+    err_f = np.where(np.isfinite(err_f), err_f, np.inf)
 
-    # edge from the representative pair (most offered matches)
-    k_rep, old_rep, _ = max(span, key=lambda c: len(c[2]))
-    wt = (Pose.from_wt(cam_out[cam_of[k_rep]])
-          @ Pose.from_wt(cam_out[cam_of[old_rep]]).inv()).wt()
-    return old_rep, k_rep, wt, inl_pairs, n_final, n, vote_ok
+    job_lanes: Dict[int, List[_LaneResult]] = {}
+    pos = 0
+    for s, (i, name, S) in enumerate(lanes):
+        prep = preps[i]
+        err = err_f[pos:pos + len(prep.rows)]
+        pos += len(prep.rows)
+        if not np.all(np.isfinite(cam_out[s][:prep.C])):
+            continue
+        inl_pairs = {}
+        n_final = 0
+        for (nf, of), idxs in prep.pair_rows.items():
+            if err[idxs].max() < cfg.error_thr:
+                n_final += 1
+                inl_pairs[nf] = of
+        k_rep, old_rep, _ = max(prep.span, key=lambda c: len(c[2]))
+        wt = (Pose.from_wt(cam_out[s][prep.cam_of[k_rep]])
+              @ Pose.from_wt(cam_out[s][prep.cam_of[old_rep]]).inv()).wt()
+        job_lanes.setdefault(i, []).append(_LaneResult(
+            name, old_rep, k_rep, wt, inl_pairs, n_final, prep.n,
+            n_final >= prep.min_score))
+
+    out = []
+    for i in range(n_jobs):
+        lr = job_lanes.get(i)
+        if not lr:
+            out.append(None)
+            continue
+        winner = None
+        best = -1
+        for li, lane in enumerate(lr):
+            if not lane.vote_ok or not drift_ok(lane.old_rep, lane.k_rep,
+                                                lane.wt):
+                continue
+            # >= : ties go to the LATER lane — the odometry-null lane is
+            # last, so a closure that merely MATCHES odometry's vote
+            # yields to the odometry-consistent estimate (when both
+            # lanes converged to the same optimum their edges coincide
+            # and the choice is moot; when they differ, the tie means
+            # the vote cannot tell them apart and the safe one wins)
+            if lane.n_final >= best:
+                best = lane.n_final
+                winner = li
+        out.append((lr, winner))
+    return out
 
 
 def _consistency_broken(poses_wt: np.ndarray, edges: Sequence[Tuple[int,
@@ -845,18 +1060,20 @@ class BatchSlamLC:
             t_rounds = time.perf_counter() - t_rounds0
             t_joint0 = time.perf_counter()
             n_joint = 0
-            # every span gets a joint multi-keyframe solve
-            # (_span_joint_resolve): accepted spans have their 2-view
-            # edge CONFIRMED and polished by it (the 2-view estimate
-            # carries weak-mode error even when it passes its own vote —
-            # olympic4f's accepted 2-view edge measured 3.3 m off ground
-            # truth), fully rejected spans get the RANSAC
-            # line-cloud-alignment rescue, and a 2-view edge the
-            # multi-view solve REFUTES (vote fails from its own init AND
-            # from the independent alignment) is dropped — reject-only
-            # containment is not capability, but neither is keeping an
-            # edge the stronger estimator disagrees with (VERDICT r3
-            # item 3)
+            # every span gets a joint multi-keyframe confirm
+            # (_joint_confirm_jobs, ALL lanes in one vmapped solve):
+            # accepted spans have their 2-view edge CONFIRMED and
+            # polished (the 2-view estimate carries weak-mode error even
+            # when it passes its own vote — olympic4f's accepted 2-view
+            # edge measured 3.3 m off ground truth), fully rejected
+            # spans get the RANSAC line-cloud-alignment rescue, EVERY
+            # confirmable span also races the odometry-null lane, and a
+            # 2-view edge the multi-view vote refutes (no lane wins, but
+            # lanes were attempted) is dropped — reject-only containment
+            # is not capability, but neither is keeping an edge the
+            # stronger estimator disagrees with
+            jobs = []
+            job_si = []
             for si in range(n_spans_total):
                 accepted_edge = span_edge[si]
                 if accepted_edge is not None and np.linalg.norm(
@@ -864,32 +1081,36 @@ class BatchSlamLC:
                     # revisit-range 2-view edge: reliable as-is (see
                     # SlamConfig.lc_confirm_t_norm)
                     continue
-                confirmed = None
-                attempted = False
-                for init in ((accepted_edge, None)
-                             if accepted_edge is not None else (None,)):
-                    n_joint += 1
-                    out = _span_joint_resolve(
-                        spans[si], frames, kf_idx, res.trajectory, cfg,
-                        self.dtype, init_edge=init)
-                    if out is None:
-                        continue
-                    attempted = True
-                    (old_rep, k_rep, wt, inl_pairs, n_final, n_off,
-                     vote_ok) = out
-                    ok = vote_ok and _drift_ok(old_rep, k_rep, wt)
+                jobs.append((spans[si], accepted_edge))
+                job_si.append(si)
+            if jobs:
+                outs = _joint_confirm_jobs(jobs, frames, kf_idx,
+                                           res.trajectory, cfg,
+                                           self.dtype, _drift_ok)
+            else:
+                outs = []
+            for (span_j, accepted_edge), si, out in zip(jobs, job_si,
+                                                        outs):
+                if out is None:
+                    # not attemptable (too few pairs / degenerate): an
+                    # existing 2-view edge stands unrefuted (ADVICE r4:
+                    # drop only what a lane actually refuted)
+                    continue
+                lanes_r, winner = out
+                n_joint += len(lanes_r)
+                for li, lane in enumerate(lanes_r):
+                    ok = li == winner
                     span_events[si].append(LoopEvent(
-                        old_rep, k_rep, n_off, n_final,
-                        wt if ok else None, ok, joint=True))
-                    if ok:
-                        confirmed = (old_rep, k_rep, wt, inl_pairs)
-                        break
-                if confirmed is not None:
-                    old_rep, k_rep, wt, inl_pairs = confirmed
-                    span_edge[si] = (old_rep, k_rep, wt)
-                    span_merge[si] = inl_pairs
-                elif attempted and accepted_edge is not None:
-                    # multi-view refuted the 2-view edge: drop it
+                        lane.old_rep, lane.k_rep, lane.n, lane.n_final,
+                        lane.wt if ok else None, ok, joint=True))
+                if winner is not None:
+                    lane = lanes_r[winner]
+                    span_edge[si] = (lane.old_rep, lane.k_rep, lane.wt)
+                    span_merge[si] = lane.inl_pairs
+                elif accepted_edge is not None:
+                    # every lane (incl. the edge's own polish) failed
+                    # the joint vote: the multi-view geometry refutes
+                    # the 2-view edge — drop it
                     span_edge[si] = None
                     span_merge[si] = None
             t_joint = time.perf_counter() - t_joint0

@@ -27,8 +27,10 @@ additionally be sharded with parallel.dist_local_ba_lines.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -107,6 +109,24 @@ def build_problem_structure(frames: List[Dict[int, np.ndarray]],
                                   last_kf, obs, ocam, olin)
 
 
+def _init_candidates_host(s: GlobalProblemStructure, trajectory: List[Pose],
+                          lines_cam: np.ndarray):
+    """Host part of init_problem_values: transform the (precomputed)
+    stereo triangulation into the world frame and build the wide-baseline
+    candidate.  Returns (cam_wt, lines_w, lines_wide)."""
+    cam_wt = np.stack([T.inv().wt() for T in trajectory])  # world->cam
+    lines_w = np.empty_like(lines_cam)
+    R_cw = np.stack([T.R for T in trajectory])
+    t_cw = np.stack([T.t for T in trajectory])
+    lines_w[:, :3] = np.einsum("lij,lj->li", R_cw[s.first_kf],
+                               lines_cam[:, :3]) + t_cw[s.first_kf]
+    lines_w[:, 3:] = np.einsum("lij,lj->li", R_cw[s.first_kf],
+                               lines_cam[:, 3:])
+    lines_wide = _two_view_lines(s.first_obs, s.last_obs, s.first_kf,
+                                 s.last_kf, R_cw, t_cw, lines_w)
+    return cam_wt, lines_w, lines_wide
+
+
 def init_problem_values(s: GlobalProblemStructure,
                         trajectory: List[Pose], cfg: SlamConfig):
     """Initial (cam_wt, line_orth) for the given trajectory estimate.
@@ -124,23 +144,66 @@ def init_problem_values(s: GlobalProblemStructure,
     Pick per line whichever candidate fits that line's observations
     best.  Degenerate (b) rows (near-parallel planes) fall back to (a).
     """
-    cam_wt = np.stack([T.inv().wt() for T in trajectory])  # world->cam
     lines_cam = np.asarray(triangulate_lines(
         jnp.asarray(s.first_obs), cfg.camera.baseline,
         inverse_depth=cfg.inverse_depth), np.float64)
-    lines_w = np.empty_like(lines_cam)
-    R_cw = np.stack([T.R for T in trajectory])
-    t_cw = np.stack([T.t for T in trajectory])
-    lines_w[:, :3] = np.einsum("lij,lj->li", R_cw[s.first_kf],
-                               lines_cam[:, :3]) + t_cw[s.first_kf]
-    lines_w[:, 3:] = np.einsum("lij,lj->li", R_cw[s.first_kf],
-                               lines_cam[:, 3:])
-
-    lines_wide = _two_view_lines(s.first_obs, s.last_obs, s.first_kf,
-                                 s.last_kf, R_cw, t_cw, lines_w)
+    cam_wt, lines_w, lines_wide = _init_candidates_host(s, trajectory,
+                                                        lines_cam)
     lines_w = _pick_better_lines(lines_w, lines_wide, cam_wt, s.obs,
                                  s.ocam, s.olin, cfg)
     return cam_wt, av_to_orth_np(lines_w)
+
+
+def _init_values_many(structs, trajs, cfg: SlamConfig):
+    """init_problem_values for several problems with TWO device calls
+    total (one batched triangulation, one batched candidate scoring)
+    instead of two per problem — the multi-sequence refine's init would
+    otherwise pay 2 * S * rounds tunnel round trips."""
+    tri_cat = np.asarray(triangulate_lines(
+        jnp.asarray(np.concatenate([s.first_obs for s in structs])),
+        cfg.camera.baseline, inverse_depth=cfg.inverse_depth), np.float64)
+    offs = np.cumsum([0] + [len(s.feat_ids) for s in structs])
+    cands = [_init_candidates_host(s, t, tri_cat[offs[i]:offs[i + 1]])
+             for i, (s, t) in enumerate(zip(structs, trajs))]
+
+    # one flat scoring dispatch for every problem's (a)-vs-(b) pick
+    from ..ops.residuals import lba_residual_batch
+    rows_cw, rows_lo, rows_obs, olin2s = [], [], [], []
+    for s, (cam_wt, la, lb) in zip(structs, cands):
+        L = len(la)
+        orth2 = np.concatenate([av_to_orth_np(la), av_to_orth_np(lb)])
+        olin2 = np.concatenate([s.olin, L + s.olin])
+        rows_cw.append(np.concatenate([cam_wt[s.ocam]] * 2))
+        rows_lo.append(orth2[olin2])
+        rows_obs.append(np.concatenate([s.obs] * 2))
+        olin2s.append(olin2)
+    cw_f = np.concatenate(rows_cw)
+    lo_f = np.concatenate(rows_lo)
+    ob_f = np.concatenate(rows_obs)
+    tot = len(cw_f)
+    totb = -(-tot // 4096) * 4096
+    pad = lambda a, w: np.concatenate(
+        [a, np.zeros((totb - tot, w))]) if totb > tot else a
+    r = lba_residual_batch(jnp.asarray(pad(cw_f, 6)),
+                           jnp.asarray(pad(lo_f, 4)),
+                           jnp.asarray(pad(ob_f, 8)),
+                           cfg.camera.baseline)
+    e_f = np.abs(np.asarray(r, np.float64)[:tot]).sum(axis=1)
+    e_f = np.where(np.isfinite(e_f), e_f, 1e6)
+
+    out = []
+    pos = 0
+    for s, (cam_wt, la, lb), olin2 in zip(structs, cands, olin2s):
+        L = len(la)
+        e = e_f[pos:pos + len(olin2)]
+        pos += len(olin2)
+        tot_l = np.zeros(2 * L)
+        np.add.at(tot_l, olin2, e)
+        take_b = tot_l[L:] < tot_l[:L]
+        lines = la.copy()
+        lines[take_b] = lb[take_b]
+        out.append((cam_wt, av_to_orth_np(lines)))
+    return out
 
 
 def build_global_problem(frames: List[Dict[int, np.ndarray]],
@@ -483,3 +546,122 @@ def global_refine(frames: List[Dict[int, np.ndarray]],
         final_cost=float(stats.final_cost),
         iterations=iterations,
         num_cams=K, num_lines=L, num_obs=O)
+
+
+# ---------------------------------------------------------------------------
+# Batched multi-sequence refine (one vmapped solve per round)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("robust", "max_iters",
+                                             "cg_iters", "line_param"))
+def _ba_cg_many(cam, line, obs, ocam, ovalid, cperm, cpermv, cfree, lfree,
+                baseline, huber_delta, *, robust, max_iters, cg_iters,
+                line_param):
+    from ..ops.schur_cg import global_ba_cg_impl
+
+    def one(c, l, o, oc, ov, cp, cpv, cf, lf):
+        return global_ba_cg_impl(c, l, o, oc, ov, cp, cpv, cf, lf,
+                                 baseline, huber_delta, robust=robust,
+                                 max_iters=max_iters, cg_iters=cg_iters,
+                                 line_param=line_param)
+
+    return jax.vmap(one)(cam, line, obs, ocam, ovalid, cperm, cpermv,
+                         cfree, lfree)
+
+
+def global_refine_many(items, config: Optional[SlamConfig] = None,
+                       max_iters: int = 25, min_obs: int = 2,
+                       rounds: int = 2) -> List[RefineResult]:
+    """global_refine over S independent replayed sequences with ONE
+    vmapped device solve per stage (VERDICT r4 item 1: the bench's five
+    seeds ran their refines serially while the chip sat idle).
+
+    items: list of (frames, is_kf, trajectory).  Problems are padded to
+    shared camera/line/bucket shapes and solved lane-parallel on the CG
+    path; each lane's solve is the same independent problem the serial
+    path would run.  Sequences that need the odometry prior (band
+    visibility) or are degenerate fall back to the serial path — the
+    bench workloads are fully-observable prior-off maps.
+    """
+    cfg = config or SlamConfig()
+    dtype = jnp.dtype(cfg.compute_dtype)
+    structs = [build_problem_structure(f, k, min_obs=min_obs)
+               for f, k, _ in items]
+    priors = [detect_band_visibility(f, k)[0] for f, k, _ in items]
+    if any(priors) or any(len(s.feat_ids) == 0 or len(s.obs) == 0
+                          for s in structs):
+        return [global_refine(f, k, t, config=cfg, max_iters=max_iters,
+                              min_obs=min_obs, rounds=rounds)
+                for f, k, t in items]
+
+    from ..ops.schur_cg import pack_line_major
+
+    S = len(items)
+    Ks = [len(t) for _, _, t in items]
+    Kb = max(Ks)
+    Ls = [len(s.feat_ids) for s in structs]
+    Os = [len(s.obs) for s in structs]
+    Lb = bucket_for(max(Ls), cfg.line_buckets)
+    rnd8 = lambda n: max(8, -(-n // 8) * 8)
+    kL = rnd8(max(int(np.bincount(s.olin).max()) for s in structs))
+    kC = rnd8(max(int(np.bincount(s.ocam).max()) for s in structs))
+    packs = [pack_line_major(s.obs, s.ocam, s.olin, Kb, Lb, k_l=kL,
+                             k_c=kC) for s in structs]
+
+    obs_b = jnp.asarray(np.stack([p.obs for p in packs]), dtype)
+    ocam_b = jnp.asarray(np.stack([p.obs_cam for p in packs]))
+    ovalid_b = jnp.asarray(np.stack([p.obs_valid for p in packs]))
+    cperm_b = jnp.asarray(np.stack([p.cam_perm for p in packs]))
+    cpermv_b = jnp.asarray(np.stack([p.cam_perm_valid for p in packs]))
+    cam_free = np.zeros((S, Kb), bool)
+    line_free = np.zeros((S, Lb), bool)
+    for i in range(S):
+        cam_free[i, 1:Ks[i]] = True           # gauge: world = KF0 camera
+        line_free[i, :Ls[i]] = True
+    cfree_b = jnp.asarray(cam_free)
+    lfree_b = jnp.asarray(line_free)
+    nofree_b = jnp.zeros_like(cfree_b)
+    bl = jnp.asarray(cfg.camera.baseline, dtype)
+    hd = jnp.asarray(cfg.huber_delta, dtype)
+
+    def solve(cam_in, line_in, cfree, iters):
+        return _ba_cg_many(jnp.asarray(cam_in, dtype),
+                           jnp.asarray(line_in, dtype), obs_b, ocam_b,
+                           ovalid_b, cperm_b, cpermv_b, cfree, lfree_b,
+                           bl, hd, robust=cfg.robust, max_iters=iters,
+                           cg_iters=100, line_param=cfg.line_param)
+
+    trajs = [list(t) for _, _, t in items]
+    initial_cost = [None] * S
+    iterations = [0] * S
+    for r in range(rounds):
+        inits = _init_values_many(structs, trajs, cfg)
+        cam_in = np.zeros((S, Kb, 6))
+        line_in = np.zeros((S, Lb, 4))
+        line_in[:, :, 3] = 0.5                # benign padding rows
+        for i, (cw, lo) in enumerate(inits):
+            cam_in[i, :Ks[i]] = cw
+            line_in[i, :Ls[i]] = lo
+        if r == 0:
+            # staged lines-only solve (see global_refine round 0)
+            _, line_out, _ = solve(cam_in, line_in, nofree_b, max_iters)
+            line_in = np.asarray(line_out, np.float64)
+        cam_out, line_out, stats = solve(cam_in, line_in, cfree_b,
+                                         max_iters)
+        cam_out = np.asarray(cam_out, np.float64)
+        line_out = np.asarray(line_out, np.float64)
+        for i in range(S):
+            trajs[i] = [Pose.from_wt(w).inv() for w in cam_out[i, :Ks[i]]]
+            if initial_cost[i] is None:
+                initial_cost[i] = float(stats.initial_cost[i])
+            iterations[i] += int(stats.iterations[i])
+
+    return [RefineResult(
+        trajectory=trajs[i],
+        lines_world=orth_to_av_np(line_out[i, :Ls[i]]),
+        feature_ids=structs[i].feat_ids,
+        initial_cost=initial_cost[i],
+        final_cost=float(stats.final_cost[i]),
+        iterations=iterations[i],
+        num_cams=Ks[i], num_lines=Ls[i], num_obs=Os[i])
+        for i in range(S)]

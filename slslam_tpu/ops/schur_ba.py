@@ -138,6 +138,24 @@ def _eval_system(cam_wt, line_orth, obs, obs_cam, obs_line, w_valid,
         from .pallas_kernels import assemble_pallas
         Hcc, Hll, gc, gl, W = assemble_pallas(A, B, Wb, gc_o, gl_o,
                                               obs_cam, obs_line, C, L)
+    elif assembly == "blocked":
+        # CALLER CONTRACT: obs_cam == repeat(arange(C), O//C) — the
+        # camera-major contiguous layout the batch engine's window
+        # packing produces (engine/batch.py: ob = win_obs.reshape(...)).
+        # Per-camera sums become plain reshapes, and the cam-line
+        # coupling W a batched (Om x L) matmul per camera — the "onehot"
+        # mode's (O, C*L) one-hot is ~C x larger and its materialization
+        # made the scan BANDWIDTH-bound (~105 MB per LM evaluation at
+        # window shape), which is why batching independent replay lanes
+        # scaled walls linearly instead of riding along free (r5 probe:
+        # vmap S=5 ran 8.8x S=1).
+        Hcc = jnp.sum(A.reshape(C, -1, 6, 6), axis=1)
+        gc = jnp.sum(gc_o.reshape(C, -1, 6), axis=1)
+        ol1h = jax.nn.one_hot(obs_line, L, dtype=r.dtype)     # (O, L)
+        Hll = jnp.einsum("ol,oij->lij", ol1h, B)
+        gl = ol1h.T @ gl_o
+        W = jnp.einsum("col,cox->clx", ol1h.reshape(C, -1, L),
+                       Wb.reshape(C, -1, 24)).reshape(C, L, 6, 4)
     elif assembly == "onehot":
         oc1h = jax.nn.one_hot(obs_cam, C, dtype=r.dtype)      # (O, C)
         ol1h = jax.nn.one_hot(obs_line, L, dtype=r.dtype)     # (O, L)
@@ -501,7 +519,16 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
     def cond(s):
-        return jnp.logical_and(s.it < max_iters, jnp.logical_not(s.done))
+        # the isfinite guard terminates garbage lanes immediately: under
+        # vmap (batched multi-sequence replay, engine/batch.py
+        # dispatch_many) BOTH branches of the engine's keyframe lax.cond
+        # execute for every lane, so this solver runs on empty/NaN
+        # problems whose lanes must not drag every other lane through the
+        # full iteration cap (a vmapped while_loop runs until ALL lanes
+        # exit)
+        return jnp.logical_and(
+            jnp.logical_and(s.it < max_iters, jnp.logical_not(s.done)),
+            jnp.isfinite(s.cost))
 
     def body(s):
         lam = 1.0 / s.radius
@@ -542,6 +569,13 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
         snorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
         pconv = snorm <= ptol * (xnorm + ptol)
         converged = jnp.logical_and(accept, jnp.logical_or(fconv, pconv))
+        # degenerate lanes (all-zero system: H = g = 0 so the step is
+        # exactly zero, or a non-finite step) can never make progress —
+        # stop instead of rejecting the null step until the cap (see the
+        # vmap note on `cond`; a real problem never produces an exactly
+        # zero step)
+        dead = jnp.logical_not(snorm > 0)
+        converged = jnp.logical_or(converged, dead)
 
         return _S(
             jnp.where(accept, cam_new, s.cam),

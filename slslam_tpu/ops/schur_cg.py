@@ -60,12 +60,14 @@ class LineMajorProblem(NamedTuple):
 
 
 def pack_line_major(obs, obs_cam, obs_line, num_cams, num_lines,
-                    round_to: int = 8) -> LineMajorProblem:
+                    round_to: int = 8, k_l=None, k_c=None) -> LineMajorProblem:
     """Bucket flat observations by line + build the camera permutation.
 
     obs (O, 8), obs_cam (O,), obs_line (O,) — valid observations only.
     Bucket sizes are padded to multiples of ``round_to`` for friendly
-    tiling.
+    tiling.  ``k_l`` / ``k_c`` force the bucket sizes (must be >= the
+    natural ones) so several problems packed for one vmapped solve share
+    a layout (engine/refine.py global_refine_many).
     """
     obs = np.asarray(obs, np.float64).reshape(-1, 8)
     obs_cam = np.asarray(obs_cam, np.int64)
@@ -76,8 +78,10 @@ def pack_line_major(obs, obs_cam, obs_line, num_cams, num_lines,
     cnt_l = np.bincount(obs_line, minlength=L)
     cnt_c = np.bincount(obs_cam, minlength=C)
     rnd = lambda n: max(round_to, int(-(-n // round_to) * round_to))
-    kL = rnd(int(cnt_l.max()) if O else 1)
-    kC = rnd(int(cnt_c.max()) if O else 1)
+    kL = int(k_l) if k_l else rnd(int(cnt_l.max()) if O else 1)
+    kC = int(k_c) if k_c else rnd(int(cnt_c.max()) if O else 1)
+    if O:
+        assert kL >= cnt_l.max() and kC >= cnt_c.max(), (kL, kC)
 
     ob = np.zeros((L, kL, 8))
     oc = np.zeros((L, kL), np.int32)
@@ -417,7 +421,12 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
                jnp.asarray(0, jnp.int32), jnp.asarray(False))
 
     def cond(s):
-        return jnp.logical_and(s.it < max_iters, jnp.logical_not(s.done))
+        # isfinite guard: garbage lanes exit immediately instead of
+        # holding every lane of a vmapped solve at the iteration cap
+        # (see ops/schur_ba.py local_ba_impl cond)
+        return jnp.logical_and(
+            jnp.logical_and(s.it < max_iters, jnp.logical_not(s.done)),
+            jnp.isfinite(s.cost))
 
     def body(s):
         lam = 1.0 / s.radius
@@ -450,6 +459,9 @@ def global_ba_cg_impl(cam_wt, line_orth, obs, obs_cam, obs_valid, cam_perm,
         snorm = jnp.sqrt(jnp.sum(dc * dc) + jnp.sum(dl * dl))
         pconv = snorm <= ptol * (xnorm + ptol)
         converged = jnp.logical_and(accept, jnp.logical_or(fconv, pconv))
+        # all-zero/non-finite step: no progress is possible (see
+        # ops/schur_ba.py local_ba_impl `dead`)
+        converged = jnp.logical_or(converged, jnp.logical_not(snorm > 0))
 
         return _S(jnp.where(accept, cam_new, s.cam),
                   jnp.where(accept, line_new, s.line),

@@ -200,6 +200,65 @@ class TestLocalBA:
         np.testing.assert_allclose(np.asarray(cam_out)[1], cam_wt[1],
                                    atol=1e-6)
 
+    def test_blocked_assembly_matches_scatter(self):
+        # assembly="blocked" (camera-major contiguous layout, the batch
+        # engine's window packing) must reproduce the scatter assembly's
+        # solution exactly up to summation order
+        cam_wt, gt_lines, obs, obs_cam, obs_line, _ = make_problem(
+            num_cams=3, noise_px=0.3, seed=5)
+        rng = np.random.default_rng(3)
+        L = len(gt_lines)
+        orth0 = np.array(geo.av_to_orth(jnp.asarray(gt_lines)))
+        orth0 += rng.standard_normal(orth0.shape) * 0.003
+        cam0 = cam_wt + rng.standard_normal(cam_wt.shape) * 0.01
+        cam0[0] = cam_wt[0]
+        # re-pack into the blocked layout: C blocks of equal size
+        C, Om = 3, L
+        obs_b = np.zeros((C * Om, 8))
+        ol_b = np.zeros(C * Om, np.int32)
+        valid_b = np.zeros(C * Om, bool)
+        oc_b = np.repeat(np.arange(C, dtype=np.int32), Om)
+        fill = np.zeros(C, np.int32)
+        for o, c, l in zip(obs, obs_cam, obs_line):
+            i = c * Om + fill[c]
+            fill[c] += 1
+            obs_b[i], ol_b[i], valid_b[i] = o, l, True
+        args = (jnp.asarray(cam0), jnp.asarray(orth0), jnp.asarray(obs_b),
+                jnp.asarray(oc_b), jnp.asarray(ol_b), jnp.asarray(valid_b),
+                jnp.asarray(np.array([False, True, True])),
+                jnp.ones(L, bool), BL, 1.0 / CAM.focal_length)
+        cam_a, line_a, st_a = local_ba(*args, assembly="scatter")
+        cam_b, line_b, st_b = local_ba(*args, assembly="blocked")
+        np.testing.assert_allclose(np.asarray(cam_b), np.asarray(cam_a),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(line_b), np.asarray(line_a),
+                                   rtol=1e-6, atol=1e-9)
+
+    def test_pose_only_mirrors_full_path(self):
+        # pose_only=True claims 'identical math to the full path with
+        # line_free all-False' (ops/schur_ba.py; the VO polish routes
+        # through it, ops/vo_pipeline.py:68-72) — assert it directly on
+        # a noisy problem rather than only via e2e ATE (ADVICE r4)
+        cam_wt, gt_lines, obs, obs_cam, obs_line, _ = make_problem(
+            num_cams=2, noise_px=0.4, seed=11)
+        rng = np.random.default_rng(13)
+        orth_gt = np.asarray(geo.av_to_orth(jnp.asarray(gt_lines)))
+        cam0 = cam_wt.copy()
+        cam0[1] += rng.standard_normal(6) * 0.05
+        args = (jnp.asarray(cam0), jnp.asarray(orth_gt), jnp.asarray(obs),
+                jnp.asarray(obs_cam), jnp.asarray(obs_line),
+                jnp.ones(len(obs), bool),
+                jnp.asarray(np.array([False, True])),
+                jnp.zeros(len(orth_gt), bool),
+                BL, 1.0 / CAM.focal_length)
+        cam_full, _, stats_full = local_ba(*args, robust=True,
+                                           max_iters=30)
+        cam_po, _, stats_po = local_ba(*args, robust=True, max_iters=30,
+                                       pose_only=True)
+        np.testing.assert_allclose(np.asarray(cam_po), np.asarray(cam_full),
+                                   rtol=1e-9, atol=1e-12)
+        assert int(stats_po.iterations) == int(stats_full.iterations)
+
     def test_padding_is_inert(self):
         # padded observations/lines/cameras must not change the solution
         cam_wt, gt_lines, obs, obs_cam, obs_line, _ = make_problem(

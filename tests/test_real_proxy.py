@@ -101,6 +101,21 @@ def test_full_pipeline_on_itbt3f_slice_with_outliers():
                          for a, b in zip(res.trajectory, gt)]))
     assert ate < 0.9, f"proxy ATE {ate}"
 
+    # companion at the SHIPPED default cap (ADVICE r4): the default's
+    # behavior on this contaminated short slice is also CI-guarded —
+    # loosely, since cap 50 over-fits the id-swap outliers here
+    # (measured 1.19 m vs 0.63 m at cap 10; the trade is documented at
+    # SlamConfig.max_num_iter and in PARITY.md) — recovery must still
+    # carry tracking to the end and drift must stay bounded
+    res_d = BatchSlam(_cfg()).run(frames)
+    kfi_d = np.flatnonzero(res_d.is_kf)
+    assert res_d.kf_count >= 33, res_d.kf_count
+    assert kfi_d[-1] >= 40
+    gt_d = [(poses_gt[i] @ poses_gt[kfi_d[0]].inv()).inv() for i in kfi_d]
+    ate_d = float(np.mean([np.linalg.norm(a.t - b.t)
+                           for a, b in zip(res_d.trajectory, gt_d)]))
+    assert ate_d < 2.0, f"default-cap proxy ATE {ate_d}"
+
 
 def test_all_sequences_have_valid_workloads():
     for seq in SEQUENCES:
