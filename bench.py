@@ -103,14 +103,21 @@ def bench_batch(platform, t_start):
     the supervisor's second TPU attempt sets it)."""
     from slslam_tpu.config import SlamConfig
     from slslam_tpu.engine.batch import BatchSlam
-    from slslam_tpu.engine.refine import global_refine_many
+    from slslam_tpu.engine.refine import global_refine
 
     num_frames = 400  # the reference benchmark's own length
     seeds = [4, 5, 6, 7, 8]
+    # capacity buckets sized to the workload (74 landmarks, ~74
+    # obs/frame): the default 128 buckets padded 60% garbage rows into
+    # every per-LM-iteration op, and the scan is row-throughput-bound on
+    # this chip (r5 bisect: walls scale ~linearly with rows processed,
+    # nothing here is latency-bound)
     cfg = dataclasses.replace(
         SlamConfig(),
         compute_dtype="float64" if platform == "cpu" else "float32",
-        kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+        kf_rot_thr=1e-9, kf_tr_thr=1e-9,
+        obs_buckets=(80, 2048), line_buckets=(80, 2048),
+        corr_buckets=(80, 256))
 
     import threading
 
@@ -129,21 +136,25 @@ def bench_batch(platform, t_start):
         from slslam_tpu.hostgeom import Pose
         try:
             ones = np.ones(num_frames, bool)
-            global_refine_many(
-                [(f, ones, [Pose() for _ in f]) for f in seq_list],
-                config=cfg)
+            global_refine(seq_list[0], ones,
+                          [Pose() for _ in seq_list[0]], config=cfg)
         except Exception:
             pass
 
+    # refines run SERIAL per seed (not vmapped): the nested LM/CG while
+    # loops run max-over-lanes steps at both levels under vmap, and the
+    # measured vmapped refine was 2x SLOWER than five serial solves on
+    # the chip (12.8 vs 6.2 s — r5 probe).  The scan is the opposite
+    # case (one level, long body) and stays vmapped.
     def one_pass():
         t0 = time.perf_counter()
         handle = eng.dispatch_many(seq_list)
         t_disp = time.perf_counter() - t0
         results = eng.collect_many(handle)     # blocks on the scan
         t_scan = time.perf_counter() - t0
-        refs = global_refine_many(
-            [(seq_list[i], r.is_kf, r.trajectory)
-             for i, r in enumerate(results)], config=cfg)
+        refs = [global_refine(seq_list[i], r.is_kf, r.trajectory,
+                              config=cfg)
+                for i, r in enumerate(results)]
         return results, refs, {
             "host_pack_s": round(t_disp, 3),
             "scan_s": round(t_scan - t_disp, 3),

@@ -102,29 +102,27 @@ def fuse_stroke_edge_pairs(segs, grad_dirs, angle_tol=3.0 * np.pi / 180.0,
     ang = np.arctan2(u[:, 1], u[:, 0]) % np.pi
     mid = (segs[:, 0:2] + segs[:, 2:4]) / 2
 
-    cands = []
-    for i in range(n):
-        for j in range(i + 1, n):
-            da = abs(ang[i] - ang[j])
-            da = min(da, np.pi - da)
-            if da > angle_tol:
-                continue
-            if grad_dirs[i] @ grad_dirs[j] > -0.5:
-                continue  # gradients not anti-parallel: not a stroke pair
-            off = abs(u[i, 0] * (mid[j] - mid[i])[1]
-                      - u[i, 1] * (mid[j] - mid[i])[0])
-            if off < min_sep or off > max_sep:
-                continue
-            # extent overlap along i's direction
-            ti = sorted([0.0, length[i]])
-            tj = sorted([u[i] @ (segs[j, 0:2] - segs[i, 0:2]),
-                         u[i] @ (segs[j, 2:4] - segs[i, 0:2])])
-            inter = min(ti[1], tj[1]) - max(ti[0], tj[0])
-            if inter < min_overlap * min(length[i], length[j]):
-                continue
-            cands.append((off, i, j))
-
-    cands.sort()
+    # pair pre-filter as (n, n) broadcasts — the per-pair Python loop was
+    # ~70 ms/image at 280 detections (r5 profile), dominated by pairs
+    # rejected at the first gate
+    da = np.abs(ang[:, None] - ang[None, :])
+    ok = np.minimum(da, np.pi - da) <= angle_tol
+    ok &= (grad_dirs @ grad_dirs.T) <= -0.5      # anti-parallel gradients
+    dmid = mid[None, :, :] - mid[:, None, :]     # (i, j, 2)
+    off_m = np.abs(u[:, None, 0] * dmid[..., 1]
+                   - u[:, None, 1] * dmid[..., 0])
+    ok &= (off_m >= min_sep) & (off_m <= max_sep)
+    r0 = segs[None, :, 0:2] - segs[:, None, 0:2]
+    r1 = segs[None, :, 2:4] - segs[:, None, 0:2]
+    t0 = np.einsum("ik,ijk->ij", u, r0)
+    t1 = np.einsum("ik,ijk->ij", u, r1)
+    tj_lo, tj_hi = np.minimum(t0, t1), np.maximum(t0, t1)
+    inter = np.minimum(length[:, None], tj_hi) - np.maximum(0.0, tj_lo)
+    ok &= inter >= min_overlap * np.minimum(length[:, None],
+                                            length[None, :])
+    ok &= np.triu(np.ones((n, n), bool), 1)      # i < j once
+    ii, jj = np.nonzero(ok)
+    cands = sorted(zip(off_m[ii, jj], ii.tolist(), jj.tolist()))
     used = set()
     out = []
     for off, i, j in cands:
@@ -177,25 +175,24 @@ def merge_collinear_segments(segs, angle_tol=2.0 * np.pi / 180.0,
             i = parent[i]
         return i
 
-    for i in range(n):
-        for j in range(i + 1, n):
-            da = abs(ang[i] - ang[j])
-            da = min(da, np.pi - da)
-            if da > angle_tol:
-                continue
-            # perpendicular offset of j's midpoint from i's line
-            off = abs(u[i, 0] * (mid[j] - segs[i, 0:2])[1]
-                      - u[i, 1] * (mid[j] - segs[i, 0:2])[0])
-            if off > offset_tol:
-                continue
-            # extent gap along i's direction
-            ti = sorted([0.0, length[i]])
-            tj = sorted([u[i] @ (segs[j, 0:2] - segs[i, 0:2]),
-                         u[i] @ (segs[j, 2:4] - segs[i, 0:2])])
-            gap = max(ti[0], tj[0]) - min(ti[1], tj[1])
-            if gap > gap_tol:
-                continue
-            parent[find(i)] = find(j)
+    # pair pre-filter as (n, n) broadcasts (see fuse_stroke_edge_pairs);
+    # union-find runs only over the surviving pairs
+    da = np.abs(ang[:, None] - ang[None, :])
+    ok = np.minimum(da, np.pi - da) <= angle_tol
+    dm = mid[None, :, :] - segs[:, None, 0:2]
+    off_m = np.abs(u[:, None, 0] * dm[..., 1]
+                   - u[:, None, 1] * dm[..., 0])
+    ok &= off_m <= offset_tol
+    r0 = segs[None, :, 0:2] - segs[:, None, 0:2]
+    r1 = segs[None, :, 2:4] - segs[:, None, 0:2]
+    t0 = np.einsum("ik,ijk->ij", u, r0)
+    t1 = np.einsum("ik,ijk->ij", u, r1)
+    tj_lo, tj_hi = np.minimum(t0, t1), np.maximum(t0, t1)
+    gap = np.maximum(0.0, tj_lo) - np.minimum(length[:, None], tj_hi)
+    ok &= gap <= gap_tol
+    ok &= np.triu(np.ones((n, n), bool), 1)
+    for i, j in zip(*np.nonzero(ok)):
+        parent[find(i)] = find(j)
 
     groups = {}
     for i in range(n):

@@ -74,6 +74,7 @@ class StereoLineMatcher:
         self.max_track_gap = max_track_gap
         self.tracks: Dict[int, Track] = {}
         self._next_id = 0
+        self._pool = None           # lazy 2-thread stereo pool
 
     # -- stereo pairing ----------------------------------------------------
 
@@ -112,13 +113,22 @@ class StereoLineMatcher:
         """Stereo frame -> {track_id: (8,) pixel observation}."""
         import jax.numpy as jnp
 
-        segs_l = self.detector.detect(img_left)
-        segs_r = self.detector.detect(img_right)
+        # the two images are independent; the native region grower
+        # (ctypes) and the XLA gradient/descriptor kernels all release
+        # the GIL, so a 2-thread pool overlaps left/right end-to-end
+        from concurrent.futures import ThreadPoolExecutor
 
-        mag_l, ang_l = image_gradients(jnp.asarray(img_left, jnp.float32))
-        mag_r, ang_r = image_gradients(jnp.asarray(img_right, jnp.float32))
-        desc_l = describe(np.asarray(mag_l), np.asarray(ang_l), segs_l)
-        desc_r = describe(np.asarray(mag_r), np.asarray(ang_r), segs_r)
+        def side(img):
+            segs = self.detector.detect(img)
+            mag, ang = image_gradients(jnp.asarray(img, jnp.float32))
+            desc = describe(np.asarray(mag), np.asarray(ang), segs)
+            return segs, desc
+
+        if self._pool is None:
+            self._pool = ThreadPoolExecutor(2)
+        f_l = self._pool.submit(side, img_left)
+        segs_r, desc_r = side(img_right)
+        segs_l, desc_l = f_l.result()
 
         pairs = self._stereo_pairs(segs_l, segs_r, desc_l, desc_r)
         if not pairs:

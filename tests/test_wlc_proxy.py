@@ -67,16 +67,16 @@ def _check_terminal_closure(res, ate):
                                 for e in res.events if e.accepted]:
         assert old_k <= 8, (old_k, new_k)
         assert new_k >= K - 20, (old_k, new_k)
-    # merged tracks exist and the closure must not meaningfully hurt —
-    # a terminal loop edge is intrinsically noisier than odometry
-    # (BENCH.md: ~0.4 m at its ML optimum), so on a sequence whose
-    # odometry is already at noise level it may cost a few centimeters;
-    # what it must never do is the uncontained failure modes this file
-    # regression-guards (r3 history: 4 -> 18 m from unverified merges,
+    # merged tracks exist and the closure must IMPROVE the trajectory
+    # (VERDICT r4 item 4: the suite could previously go green with
+    # closures that help nothing — the itbt3f wlc run measures 0.288 ->
+    # 0.160 m under the r5 confirm logic, a wide margin over odometry).
+    # The uncontained failure modes this file regression-guards are far
+    # above the bar (r3 history: 4 -> 18 m from unverified merges,
     # 1.6 -> 5.4 m from a 9.5 m-wrong weak-mode edge)
     assert res.stats["num_merged_tracks"] >= 5
     raw = ate(res.base.trajectory)
-    assert ate(res.trajectory) <= max(1.5 * raw, raw + 0.1)
+    assert ate(res.trajectory) < raw, (ate(res.trajectory), raw)
 
 
 def test_itbt3f_terminal_loop_closure():

@@ -143,6 +143,37 @@ def main(argv=None):
               {"C": C, "L": L, "O": C * opc, "lm_iters_cap": args.iters,
                "note": "flops = XLA whole-solve estimate (all LM iters)"})
 
+    # BATCHED dense window BA: B independent window problems in one
+    # vmapped solve (the r5 design fix for "the dense problems are
+    # simply small" — the workload has abundant independent small
+    # problems and one dispatch carries them all; engine/batch.py
+    # dispatch_many / batch_lc._joint_polish_many are the production
+    # instantiations).  Reported against the single-problem row above.
+    from slslam_tpu.ops.schur_ba import local_ba_impl
+    C, L, opc = 20, 129, 128
+    for B in (8, 64):
+        probs = [_ba_problem(np.random.default_rng(i), C, L, opc, dtype)
+                 for i in range(B)]
+        stacked = tuple(jnp.stack([p[k] for p in probs])
+                        for k in range(8))
+
+        def fn_many(*a):
+            def one(c, l, o, oc, ol, ov, cf, lf):
+                return local_ba_impl(c, l, o, oc, ol, ov, cf, lf,
+                                     jnp.asarray(0.12, dtype),
+                                     jnp.asarray(1 / 406.05, dtype),
+                                     robust=True, max_iters=args.iters,
+                                     assembly="blocked")
+            return jax.vmap(one)(*a)
+
+        jfn = jax.jit(fn_many)
+        wall = _bench(jfn, *stacked, reps=5)
+        flops, bytes_acc = _cost(jfn, *stacked)
+        _emit(f"local_ba_window_batched_{B}", wall, flops, bytes_acc,
+              {"B": B, "C": C, "L": L, "O": C * opc,
+               "lm_iters_cap": args.iters,
+               "note": "B independent window solves, one vmapped dispatch"})
+
     # onehot assembly alone (residual+jac+blocks, no solve)
     C, L, opc = 20, 129, 128
     cam, line, obs, ocam, olin, ovalid, cfree, lfree = _ba_problem(
