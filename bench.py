@@ -14,14 +14,16 @@ noise, full VO + windowed Schur-LM BA per frame.
 Headline path: the device-resident batch engine (engine/batch.py) — the
 whole replay as one lax.scan, zero per-frame host round trips; identical
 per-frame math to the interactive engine (cross-checked in
-tests/test_batch_engine.py).  All 5 render seeds ride ONE vmapped scan
-dispatch and one vmapped global-refine solve per stage (the dense window
-problems are ~0.1% of the MXU ceiling, so lanes are nearly free).  Set
-BENCH_MODE=interactive to measure the per-frame host-loop engine instead
-(2 device dispatches per keyframe — tunnel-latency-bound in this
-environment); BENCH_MANY=0 for the r4 serial-seed pipeline.  In batch
-mode a driver-visible loop-closure measurement (BENCH_MODE=lc workload)
-is appended as a stderr lc_keyframes_per_s line when budget remains.
+tests/test_batch_engine.py).  All 5 render seeds are packed and
+dispatched up front so the in-order device queue runs them back-to-back
+with zero host gaps (measured faster than vmapping them as lanes — see
+bench_batch.one_pass).  Set BENCH_MODE=interactive to measure the
+per-frame host-loop engine instead (2 device dispatches per keyframe —
+tunnel-latency-bound in this environment); BENCH_MANY=0 for the r4
+serial-seed pipeline; BENCH_MANY=vmap for the vmapped-lanes variant.  In
+batch mode a driver-visible loop-closure measurement (BENCH_MODE=lc
+workload) is appended as a stderr lc_keyframes_per_s line when budget
+remains.
 
 Defensive against slow/tunneled device backends: a wall-clock budget adapts
 the work, and a JSON line is emitted even on partial runs.
@@ -89,18 +91,16 @@ def _finish_seed(eng, seed, handles, workloads, results, cfg):
 
 
 def bench_batch(platform, t_start):
-    """Whole-sequence replay + global refine for >= 5 render seeds, ALL
-    seeds in one vmapped scan dispatch + one vmapped refine solve per
-    stage (engine/batch.py dispatch_many, engine/refine.py
-    global_refine_many).  The per-window dense solve runs at ~0.1% of the
-    chip's matmul ceiling (tools/mxu_util.py), so lanes are nearly free:
-    the five independent replays that r4 ran serially (4.1-7.1 s each)
-    ride one dispatch for about the wall of one.  ATE is reported
-    worst-case across seeds; every lane is the same independent problem
-    the serial path ran (cross-checked in tests/test_batch_engine.py).
+    """Whole-sequence replay + global refine for >= 5 render seeds: all
+    replays packed and dispatched up front so the in-order device queue
+    runs them back-to-back with zero host gaps, refines overlapping the
+    later scans.  See one_pass() for the measured comparison against the
+    vmapped-lanes and 1-deep-pipeline alternatives.  ATE is reported
+    worst-case across seeds; each seed is a fully independent solve.
 
     BENCH_MANY=0 falls back to the r4 serial pipeline (crash insurance:
-    the supervisor's second TPU attempt sets it)."""
+    the supervisor's second TPU attempt sets it); BENCH_MANY=vmap runs
+    the 5 seeds as one vmapped scan (engine/batch.py dispatch_many)."""
     from slslam_tpu.config import SlamConfig
     from slslam_tpu.engine.batch import BatchSlam
     from slslam_tpu.engine.refine import global_refine
@@ -141,24 +141,55 @@ def bench_batch(platform, t_start):
         except Exception:
             pass
 
-    # refines run SERIAL per seed (not vmapped): the nested LM/CG while
-    # loops run max-over-lanes steps at both levels under vmap, and the
-    # measured vmapped refine was 2x SLOWER than five serial solves on
-    # the chip (12.8 vs 6.2 s — r5 probe).  The scan is the opposite
-    # case (one level, long body) and stays vmapped.
+    # All 5 replays are packed and dispatched UP FRONT — the in-order
+    # device queue then runs them back-to-back with zero host gaps —
+    # and each seed's refine starts as soon as its scan is collected,
+    # its host packing hidden behind the later seeds' scans.  Measured
+    # against the alternatives on the chip (r5 probes): 5 async serial
+    # scans 7.7 s vs ONE vmapped 5-lane scan 13.0 s (a vmapped
+    # while_loop runs max-over-lanes iterations: per-frame max-lane LM
+    # count is ~2x the mean) vs the r4 1-deep pipeline 23+ s (host
+    # packing gaps inside the loop); vmapped refines likewise lost 2x
+    # to serial (nested LM/CG loops).  Batching into one dispatch is
+    # still the right call when per-problem solves are LONG (the
+    # deferred-LC joint confirms, engine/batch_lc.py); for many short
+    # solves the queue IS the batching.
+    use_vmap = os.environ.get("BENCH_MANY") == "vmap"
+
     def one_pass():
         t0 = time.perf_counter()
-        handle = eng.dispatch_many(seq_list)
+        if use_vmap:
+            handle = eng.dispatch_many(seq_list)
+            t_disp = time.perf_counter() - t0
+            results = eng.collect_many(handle)
+            t_scan = time.perf_counter() - t0
+            refs = [global_refine(seq_list[i], r.is_kf, r.trajectory,
+                                  config=cfg)
+                    for i, r in enumerate(results)]
+            return results, refs, {
+                "host_pack_s": round(t_disp, 3),
+                "scan_s": round(t_scan - t_disp, 3),
+                "refine_s": round(time.perf_counter() - t0 - t_scan, 3),
+            }
+        handles = [eng.dispatch(s) for s in seq_list]
         t_disp = time.perf_counter() - t0
-        results = eng.collect_many(handle)     # blocks on the scan
-        t_scan = time.perf_counter() - t0
-        refs = [global_refine(seq_list[i], r.is_kf, r.trajectory,
-                              config=cfg)
-                for i, r in enumerate(results)]
+        results, refs, busy = [], [], []
+        for i, h in enumerate(handles):
+            t1 = time.perf_counter()
+            r = eng.collect(h)
+            results.append(r)
+            # rounds=3: at the default 2 a weak-mode seed's refine is
+            # run-to-run chaotic in f32 (seed 4 measured 0.0068 m one
+            # run, 0.0021 the next); the third re-init round lands it at
+            # 0.0016 m every time (r5 probe: rounds 2/3/4 per seed)
+            refs.append(global_refine(seq_list[i], r.is_kf,
+                                      r.trajectory, config=cfg,
+                                      rounds=3))
+            busy.append(round(time.perf_counter() - t1, 3))
         return results, refs, {
             "host_pack_s": round(t_disp, 3),
-            "scan_s": round(t_scan - t_disp, 3),
-            "refine_s": round(time.perf_counter() - t0 - t_scan, 3),
+            "per_seed_busy_s": busy,
+            "total_s": round(time.perf_counter() - t0, 3),
         }
 
     t0 = time.perf_counter()
@@ -203,7 +234,7 @@ def bench_batch(platform, t_start):
     worst = max(r["ate_refined"] for r in per_seed.values())
     emit(kf_per_s, kf_per_s / BASELINE_KF_PER_S, {
         "platform": platform,
-        "mode": "batch+refine (vmapped seeds)",
+        "mode": "batch+refine (async-queued seeds)",
         "seeds_measured": len(seeds),
         "keyframes_per_run": results[0].kf_count,
         "cold_s": round(cold_s, 2),

@@ -97,6 +97,29 @@ class SlamConfig:
     # results).  The value mirrors lc_ransac_max_t_norm: the online
     # path's own notion of revisit range.
     lc_confirm_t_norm: float = 2.5
+    # ... AND the correction it implies must be small: a short 2-view
+    # edge whose deviation from the odometry-implied relative pose
+    # exceeds this (meters) wants to MOVE the map, and that claim needs
+    # the joint multi-keyframe confirm (with its odometry-null lane)
+    # behind it.  Measured r5: myungdong seed 2's revisit-range edge
+    # skipped confirmation and its accepted correction REGRESSED the
+    # trajectory 1.21 -> 1.91 m.  Odometry-consistent short edges still
+    # skip (the village workload's sub-meter edges confirm to identical
+    # results, pure wall cost).
+    lc_confirm_dev_t: float = 0.3
+    # Counterfactual basin selection (engine/batch_lc.py): a contested
+    # closure whose implied correction is below this fraction of the
+    # path between its endpoints keeps the map odometry-anchored (the
+    # closure still contributes its verified merges + weak edge prior);
+    # above it, the stitched jump stands.  Measured r5: for corrections
+    # in this regime EVERY internal signal saturates in both basins —
+    # refine cost (the wrong basin was 5.6% CHEAPER), merged-track
+    # inlier fraction (97-99% both basins, at full AND half threshold)
+    # — so a sub-noise correction is unverifiable from the data, and
+    # odometry is the prior-correct anchor (the proxies' odometry floor
+    # measures 0.4-1.3% of path wolc).  Genuine closures sit far above:
+    # olympic4f s1's 6.4 m correction is 2.7% of path.
+    lc_counterfactual_corr_frac: float = 0.01
 
     # Reprojection / thresholds (reference: src/parameter.h:55-62).
     inverse_depth: float = 0.1

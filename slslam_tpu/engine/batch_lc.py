@@ -154,6 +154,48 @@ def _span_solve_batch(o0S, o1S, validS, keys, baseline, error_thr,
 _SPAN_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
 
+def _merged_inlier_frac(ref, frames_m, is_kf, merged, cfg: SlamConfig):
+    """Fraction of MERGED-track observations within the inlier threshold
+    under a refine result — does this basin explain the loop evidence?
+    (See the counterfactual basin selection in BatchSlamLC.run.)"""
+    from ..hostgeom import av_to_orth_np
+    from ..ops.residuals import lba_residual_batch
+    from .refine import build_problem_structure
+
+    roots = set(merged.values())
+    if not roots:
+        return 1.0
+    s = build_problem_structure(frames_m, is_kf)
+    lid = {f: i for i, f in enumerate(ref.feature_ids)}
+    sel = np.asarray([o for o in range(len(s.olin))
+                      if s.feat_ids[s.olin[o]] in roots
+                      and s.feat_ids[s.olin[o]] in lid], np.int64)
+    if len(sel) == 0:
+        return 1.0
+    cam_wt = np.stack([T.inv().wt() for T in ref.trajectory])
+    orth = av_to_orth_np(ref.lines_world)
+    rows_l = np.asarray([lid[s.feat_ids[s.olin[o]]] for o in sel])
+    dtype = jnp.dtype(cfg.compute_dtype)
+    n = len(sel)
+    nb = -(-n // 1024) * 1024
+    pad = lambda a, w: (np.concatenate([a, np.zeros((nb - n, w))])
+                        if nb > n else a)
+    r = lba_residual_batch(
+        jnp.asarray(pad(cam_wt[s.ocam[sel]], 6), dtype),
+        jnp.asarray(pad(orth[rows_l], 4), dtype),
+        jnp.asarray(pad(s.obs[sel], 8), dtype), cfg.camera.baseline)
+    err = np.abs(np.asarray(r, np.float64)[:n]).max(axis=1)
+    # (fraction at the acceptance threshold, fraction at HALF of it).
+    # The half-threshold fraction is the discriminator: a basin that
+    # absorbed genuine drift by bending (rather than jumping) still
+    # clears the loose gate but its merged-track fits are strained —
+    # measured on olympic4f s1, the odometry-init refine pulled 3.10 ->
+    # 2.25 m and saturated the loose fraction while the correct stitched
+    # basin sat at 1.11 m
+    return (float(np.mean(err < cfg.error_thr)),
+            float(np.mean(err < 0.5 * cfg.error_thr)))
+
+
 def _solve_span_round(cands, frames, kf_idx, cfg: SlamConfig, dtype,
                       base_key):
     """Solve one round of span representatives [(k, old_k, match), ...]
@@ -320,26 +362,31 @@ def _group_fit_many(cam, line, obs, ocam, olin, ovalid, lfree, baseline,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("robust", "max_iters", "cg_iters",
-                              "line_param"))
-def _joint_polish_many(cam, line, obs, ocam, ovalid, cperm, cpermv, cfree,
-                      lfree, ei, ej, ec, esig, baseline, huber_delta, *,
-                      robust, max_iters, cg_iters, line_param):
+    jax.jit, static_argnames=("robust", "max_iters", "line_param"))
+def _joint_polish_many(cam, line, obs, ocam, olin, ovalid, cfree,
+                       lfree, ei, ej, ec, esig, baseline, huber_delta, *,
+                       robust, max_iters, line_param):
     """All confirm lanes' joint BA polishes in ONE dispatch.  r4 ran
     each span's joint solve serially — ~3.6-4 s of latency-bound CG steps
-    each, 64 of the 93 s 1000-keyframe wall (VERDICT r4 item 2); the
-    lanes are independent fixed-shape problems, so they ride one vmapped
-    call for about the wall of the slowest lane."""
-    from ..ops.schur_cg import global_ba_cg_impl
+    each, 64 of the 93 s 1000-keyframe wall (VERDICT r4 item 2).  The
+    lanes are vmapped over the DENSE Schur solver with pose-prior edges
+    (ops/schur_ba.py prior_edges): span problems are window-sized, and
+    the dense path runs ONE device step per LM iteration — the first r5
+    attempt vmapped the matrix-free CG solver, whose nested while loops
+    ran max-over-lanes tiny matvecs at both levels and kept the confirm
+    wall at 45 s.  obs must be camera-major contiguous per lane
+    (assembly="blocked")."""
+    from ..ops.schur_ba import local_ba_impl
 
-    def one(c, l, o, oc, ov, cp, cpv, cf, lf, i1, j1, c1, s1):
-        return global_ba_cg_impl(
-            c, l, o, oc, ov, cp, cpv, cf, lf, baseline, huber_delta,
-            robust=robust, max_iters=max_iters, cg_iters=cg_iters,
-            line_param=line_param, prior_edges=(i1, j1, c1, s1))
+    def one(c, l, o, oc, ol, ov, cf, lf, i1, j1, c1, s1):
+        return local_ba_impl(c, l, o, oc, ol, ov, cf, lf, baseline,
+                             huber_delta, robust=robust,
+                             max_iters=max_iters, line_param=line_param,
+                             assembly="blocked",
+                             prior_edges=(i1, j1, c1, s1))
 
-    return jax.vmap(one)(cam, line, obs, ocam, ovalid, cperm, cpermv,
-                         cfree, lfree, ei, ej, ec, esig)
+    return jax.vmap(one)(cam, line, obs, ocam, olin, ovalid, cfree,
+                         lfree, ei, ej, ec, esig)
 
 
 @dataclasses.dataclass
@@ -491,47 +538,60 @@ def _ransac_align(prep: "_JointPrep", linesA, cntA, linesB, cntB,
     vB = linesB[:, 3:] / np.maximum(nzB, 1e-30)[:, None]
     aA, aB = linesA[:, :3], linesB[:, :3]
 
-    def fit_S(idx, w=None):
+    def fit_S_batch(idxs, w=None):
+        """(J, k) sample index sets -> (J, 3, 3) R, (J, 3) t, (J,) ok —
+        all J candidate fits in one batched numpy pass (the r5a
+        per-candidate loop ran 256 sequential 3x3 SVD fits per span and
+        dominated the confirm wall at 1000-kf scale once every span
+        started running the rescue stages)."""
+        J, k = idxs.shape
         if w is None:
-            w = np.ones(len(idx))
-        R = M_odo.R
-        t = M_odo.t
+            w = np.ones((J, k))
+        vAi, vBi = vA[idxs], vB[idxs]            # (J, k, 3)
+        aAi, aBi = aA[idxs], aB[idxs]
+        R = np.broadcast_to(M_odo.R, (J, 3, 3)).copy()
+        t = np.broadcast_to(M_odo.t, (J, 3)).copy()
+        P = (np.eye(3)[None, None]
+             - vBi[..., :, None] * vBi[..., None, :])   # (J, k, 3, 3)
+        A_t = np.einsum("jn,jnab->jab", w, P)
         for _ in range(2):
-            s = np.sign(np.sum(np.einsum("ij,nj->ni", R, vA[idx])
-                               * vB[idx], axis=1))
+            s = np.sign(np.einsum("jab,jnb,jna->jn", R, vAi, vBi))
             s[s == 0] = 1.0
-            Mw = np.einsum("n,ni,nj->ij", w * s, vB[idx], vA[idx])
+            Mw = np.einsum("jn,jna,jnb->jab", w * s, vBi, vAi)
             try:
                 U, _, Vt = np.linalg.svd(Mw)
             except np.linalg.LinAlgError:
-                return None
-            R = U @ np.diag([1, 1, np.linalg.det(U @ Vt)]) @ Vt
-            P = (np.eye(3)[None]
-                 - vB[idx][:, :, None] * vB[idx][:, None, :])
-            A_t = np.einsum("n,nij->ij", w, P)
-            b_t = np.einsum("n,nij,nj->i", w, P,
-                            aB[idx] - np.einsum("ij,nj->ni", R, aA[idx]))
-            try:
-                t = np.linalg.solve(A_t, b_t)
-            except np.linalg.LinAlgError:
-                return None
-        if not (np.isfinite(t).all() and np.isfinite(R).all()):
-            return None
-        return Pose(R, t)
+                # batched SVD aborts wholesale if ONE 3x3 fails to
+                # converge; jitter the failing candidates negligibly
+                Mw = Mw + 1e-12 * np.random.default_rng(0).standard_normal(
+                    Mw.shape)
+                U, _, Vt = np.linalg.svd(Mw)
+            det = np.linalg.det(np.einsum("jab,jbc->jac", U, Vt))
+            D = np.zeros((J, 3, 3))
+            D[:, 0, 0] = D[:, 1, 1] = 1.0
+            D[:, 2, 2] = det
+            R = np.einsum("jab,jbc,jcd->jad", U, D, Vt)
+            b_t = np.einsum("jn,jnab,jnb->ja", w, P,
+                            aBi - np.einsum("jab,jnb->jna", R, aAi))
+            ok_t = np.abs(np.linalg.det(A_t)) > 1e-12
+            A_s = np.where(ok_t[:, None, None], A_t, np.eye(3)[None])
+            t = np.linalg.solve(A_s, b_t[..., None])[..., 0]
+        ok = (np.isfinite(R).all(axis=(1, 2)) & np.isfinite(t).all(axis=1)
+              & ok_t)
+        return R, t, ok
 
     strong = np.flatnonzero(usable & (cntA >= 2) & (cntB >= 2))
     pool = strong if len(strong) >= 3 else np.flatnonzero(usable)
     if len(pool) < 3:
         return None
     rng = np.random.default_rng(cfg.rseed ^ (0x5A11 + prep.new_ks[0]))
-    cands_S = []
-    for _ in range(256):
-        S = fit_S(rng.choice(pool, 3, replace=False))
-        if S is not None:
-            cands_S.append(S)
-    S = fit_S(pool)
-    if S is not None:
-        cands_S.append(S)
+    samples = np.stack([rng.choice(pool, 3, replace=False)
+                        for _ in range(256)])
+    R_b, t_b, ok_b = fit_S_batch(samples)
+    cands_S = [Pose(R_b[j], t_b[j]) for j in np.flatnonzero(ok_b)]
+    Rp, tp, okp = fit_S_batch(pool[None, :])
+    if okp[0]:
+        cands_S.append(Pose(Rp[0], tp[0]))
     cands_S.append(M_odo)            # odometry-implied as the fallback
     return cands_S
 
@@ -563,7 +623,14 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
     """
     from ..hostgeom import av_to_orth_np
     from ..ops.residuals import lba_residual_batch
-    from ..ops.schur_cg import pack_line_major
+
+    timing = {}
+    t_stage = time.perf_counter()
+
+    def _mark(key):
+        nonlocal t_stage
+        timing[key] = round(time.perf_counter() - t_stage, 3)
+        t_stage = time.perf_counter()
 
     n_jobs = len(jobs)
     min_attempt = max(cfg.lc_min_inliers, cfg.ransac_min_sample)
@@ -571,11 +638,18 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
     for (span, _) in jobs:
         p = _JointPrep(span, frames, kf_idx, traj, cfg)
         preps.append(p if p.n >= min_attempt else None)
+    _mark("prep")
 
-    # ---- stages 1-2 (rescue spans only): group fits + RANSAC align ----
-    rescue = [(i, preps[i]) for i, (_, ie) in enumerate(jobs)
-              if preps[i] is not None and ie is None]
+    # ---- stages 1-2 for EVERY confirmable span: group fits + RANSAC
+    # align.  Also for spans with a verified 2-view edge — when the
+    # edge-polish lane fails the joint vote, the aligned lane is the
+    # fallback that rescues genuine closures (olympic4f seed 1: edge
+    # lane 42/81, below the 49 floor, while the aligned lane passes;
+    # r4's sequential code retried with init=None for exactly this) ----
+    rescue = [(i, preps[i]) for i in range(n_jobs)
+              if preps[i] is not None]
     fits = _fit_group_problems(rescue, traj, cfg, dtype)
+    _mark("group_fits")
     cand_lists = {}
     score_parts = []            # (job_i, J, Rn, cw, lo, ob)
     for i, prep in rescue:
@@ -624,6 +698,7 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
             pos += J * Rn
             S_best[i] = cand_lists[i][int(np.argmax(
                 (e < cfg.error_thr).sum(axis=1)))]
+    _mark("ransac_align")
 
     # ---- stage 3: one vmapped joint polish over ALL lanes ----
     lanes = []                  # (job_i, name, S alignment in gauge frame)
@@ -637,19 +712,20 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
                           prep.Qg[e_new].inv()
                           @ Pose.from_wt(np.asarray(e_wt))
                           @ (traj[e_old].inv() @ prep.gauge)))
-        elif i in S_best:
+        if i in S_best:
             lanes.append((i, "aligned", S_best[i]))
         lanes.append((i, "odometry", prep.M_odo))
     if not lanes:
-        return [None] * n_jobs
+        return [None] * n_jobs, timing
 
     act = sorted({i for i, _, _ in lanes})
     ap = [preps[i] for i in act]
     Cb = bucket_for(max(p.C for p in ap), cfg.cam_buckets)
     Lb = bucket_for(max(p.L for p in ap), cfg.line_buckets)
     rnd8 = lambda n: max(8, -(-n // 8) * 8)
-    kL = rnd8(max(int(np.bincount(p.olin).max()) for p in ap))
-    kC = rnd8(max(int(np.bincount(p.ocam).max()) for p in ap))
+    # camera-major blocked flat layout for the dense solver: OmC rows
+    # per camera slot (assembly="blocked" contract)
+    OmC = rnd8(max(int(np.bincount(p.ocam).max()) for p in ap))
     Eb = rnd8(max((len(p.old_ks) - 1) + (len(p.new_ks) - 1) for p in ap))
     SL = bucket_for(len(lanes), _SPAN_BUCKETS)
 
@@ -665,8 +741,18 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
     pos = 0
     for i, first_obs in tri_jobs:
         prep = preps[i]
-        packs[i] = pack_line_major(prep.rows, prep.ocam, prep.olin, Cb,
-                                   Lb, k_l=kL, k_c=kC)
+        ob_f = np.zeros((Cb * OmC, 8))
+        ol_f = np.zeros(Cb * OmC, np.int32)
+        ov_f = np.zeros(Cb * OmC, bool)
+        fill = np.zeros(Cb, np.int32)
+        for ri in range(len(prep.rows)):
+            c = int(prep.ocam[ri])
+            k = c * OmC + fill[c]
+            fill[c] += 1
+            ob_f[k] = prep.rows[ri]
+            ol_f[k] = prep.olin[ri]
+            ov_f[k] = True
+        packs[i] = (ob_f, ol_f, ov_f)
         ei, ej, ec, esig = [], [], [], []
         for grp in (prep.old_ks, prep.new_ks):
             for a, b in zip(grp, grp[1:]):
@@ -702,11 +788,11 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
     cam_b = np.zeros((SL, Cb, 6))
     line_b = np.zeros((SL, Lb, 4))
     line_b[:, :, 3] = 0.5
-    obs_b = np.zeros((SL,) + packs[act[0]].obs.shape)
-    ocam_b = np.zeros((SL,) + packs[act[0]].obs_cam.shape, np.int32)
-    ovalid_b = np.zeros((SL,) + packs[act[0]].obs_valid.shape, bool)
-    cperm_b = np.zeros((SL,) + packs[act[0]].cam_perm.shape, np.int32)
-    cpermv_b = np.zeros((SL,) + packs[act[0]].cam_perm_valid.shape, bool)
+    obs_b = np.zeros((SL, Cb * OmC, 8))
+    olin_b = np.zeros((SL, Cb * OmC), np.int32)
+    ovalid_b = np.zeros((SL, Cb * OmC), bool)
+    ocam_b = np.broadcast_to(
+        np.repeat(np.arange(Cb, dtype=np.int32), OmC), (SL, Cb * OmC))
     cfree_b = np.zeros((SL, Cb), bool)
     lfree_b = np.zeros((SL, Lb), bool)
     ei_b = np.zeros((SL, Eb), np.int32)
@@ -721,31 +807,26 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
             cam_init[prep.cam_of[g]] = (prep.Qg[g] @ S).wt()
         cam_b[s] = cam_init
         line_b[s] = line_inits[i]
-        p = packs[i]
-        obs_b[s], ocam_b[s], ovalid_b[s] = p.obs, p.obs_cam, p.obs_valid
-        cperm_b[s], cpermv_b[s] = p.cam_perm, p.cam_perm_valid
+        obs_b[s], olin_b[s], ovalid_b[s] = packs[i]
         cfree_b[s], lfree_b[s] = cfree_j[i], lfree_j[i]
         ei_b[s], ej_b[s], ec_b[s], esig_b[s] = priors[i]
     for s in range(len(lanes), SL):   # padding lanes re-solve lane 0
-        for a in (cam_b, line_b, obs_b, ocam_b, ovalid_b, cperm_b,
-                  cpermv_b, cfree_b, lfree_b, ei_b, ej_b, ec_b, esig_b):
+        for a in (cam_b, line_b, obs_b, olin_b, ovalid_b,
+                  cfree_b, lfree_b, ei_b, ej_b, ec_b, esig_b):
             a[s] = a[0]
 
-    # 30 LM x 50 CG (not the 50x100 defaults): each polish starts inside
-    # its basin and the small reduced systems converge early
     cam_out, line_out, _ = _joint_polish_many(
         jnp.asarray(cam_b, dtype), jnp.asarray(line_b, dtype),
-        jnp.asarray(obs_b, dtype), jnp.asarray(ocam_b),
-        jnp.asarray(ovalid_b), jnp.asarray(cperm_b),
-        jnp.asarray(cpermv_b), jnp.asarray(cfree_b),
-        jnp.asarray(lfree_b), jnp.asarray(ei_b), jnp.asarray(ej_b),
-        jnp.asarray(ec_b), jnp.asarray(esig_b),
+        jnp.asarray(obs_b, dtype), jnp.asarray(np.ascontiguousarray(
+            ocam_b)), jnp.asarray(olin_b), jnp.asarray(ovalid_b),
+        jnp.asarray(cfree_b), jnp.asarray(lfree_b), jnp.asarray(ei_b),
+        jnp.asarray(ej_b), jnp.asarray(ec_b), jnp.asarray(esig_b),
         jnp.asarray(cfg.camera.baseline, dtype),
         jnp.asarray(cfg.huber_delta, dtype),
-        robust=cfg.robust, max_iters=30, cg_iters=50,
-        line_param=cfg.line_param)
+        robust=cfg.robust, max_iters=30, line_param=cfg.line_param)
     cam_out = np.asarray(cam_out, np.float64)
     line_out = np.asarray(line_out, np.float64)
+    _mark("joint_polish")
 
     # ---- stage 4: one batched verification over every lane's rows ----
     ver_parts = []
@@ -810,7 +891,8 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
                 best = lane.n_final
                 winner = li
         out.append((lr, winner))
-    return out
+    _mark("verify_vote")
+    return out, timing
 
 
 def _consistency_broken(poses_wt: np.ndarray, edges: Sequence[Tuple[int,
@@ -1078,15 +1160,23 @@ class BatchSlamLC:
                 accepted_edge = span_edge[si]
                 if accepted_edge is not None and np.linalg.norm(
                         accepted_edge[2][3:]) <= cfg.lc_confirm_t_norm:
-                    # revisit-range 2-view edge: reliable as-is (see
-                    # SlamConfig.lc_confirm_t_norm)
-                    continue
+                    # revisit-range 2-view edge: reliable as-is ONLY if
+                    # it is also odometry-consistent — an edge implying
+                    # a real correction must win the confirm lanes (see
+                    # SlamConfig.lc_confirm_t_norm / lc_confirm_dev_t)
+                    old_k, k, wt = accepted_edge
+                    implied = (res.trajectory[k].inv()
+                               @ res.trajectory[old_k])
+                    dev = np.linalg.norm(Pose.from_wt(wt).t - implied.t)
+                    if dev <= cfg.lc_confirm_dev_t:
+                        continue
                 jobs.append((spans[si], accepted_edge))
                 job_si.append(si)
+            confirm_stages = {}
             if jobs:
-                outs = _joint_confirm_jobs(jobs, frames, kf_idx,
-                                           res.trajectory, cfg,
-                                           self.dtype, _drift_ok)
+                outs, confirm_stages = _joint_confirm_jobs(
+                    jobs, frames, kf_idx, res.trajectory, cfg,
+                    self.dtype, _drift_ok)
             else:
                 outs = []
             for (span_j, accepted_edge), si, out in zip(jobs, job_si,
@@ -1179,6 +1269,70 @@ class BatchSlamLC:
                                     rounds=self.refine_rounds,
                                     _prior_c=prior_c, prior_edges=pedges)
             traj = refined.trajectory
+
+            # Counterfactual basin selection for CONTESTED closures: when
+            # an accepted edge implies a real correction (deviation from
+            # the odometry-implied pose > lc_confirm_dev_t), the joint
+            # vote can prefer a wrong alignment on a weak-mode ridge —
+            # the local line geometry of a street span genuinely fits the
+            # wrong point better (myungdong seed 2: aligned lane 47/65 vs
+            # odometry 28/65, yet applying it bent the map).  Geometry
+            # local to the span cannot arbitrate; the WHOLE map can: run
+            # the identical refine problem (same merges, same priors)
+            # initialized from the raw odometry chain instead of the
+            # stitched trajectory and keep whichever basin ends at lower
+            # total cost.  Costs are directly comparable — only the init
+            # differs.  Uncontested runs (every edge odometry-consistent)
+            # skip the second refine entirely.
+            contested = False
+            any_large = False
+            for (old_k, new_k, wt) in loop_edges:
+                implied = (res.trajectory[new_k].inv()
+                           @ res.trajectory[old_k])
+                dev = np.linalg.norm(Pose.from_wt(wt).t - implied.t)
+                if dev > cfg.lc_confirm_dev_t:
+                    contested = True
+                    path = max(cum[new_k] - cum[old_k], 1.0)
+                    if dev > cfg.lc_counterfactual_corr_frac * path:
+                        any_large = True
+            # a correction clearly above the odometry noise floor is
+            # what loop closure exists for — the stitched jump stands
+            # without a counterfactual (see lc_counterfactual_corr_frac)
+            contested = contested and not any_large
+            self._refine_pick = "stitched"
+            self._refine_loop_frac = None
+            if contested:
+                alt = global_refine(frames_m, res.is_kf,
+                                    list(res.trajectory), config=cfg,
+                                    rounds=self.refine_rounds,
+                                    _prior_c=prior_c, prior_edges=pedges)
+                # Basin selection: total cost does NOT discriminate here
+                # (measured r5: the wrong myungdong-s2 basin was 5.6%
+                # CHEAPER, the genuine olympic-s1 one 10% cheaper — in
+                # the weak-mode regime both basins fit the bulk of the
+                # observations).  What discriminates is whether the
+                # odometry-init basin EXPLAINS THE LOOP EVIDENCE: the
+                # fraction of merged-track observations within the
+                # inlier threshold under each basin's refined result.
+                # When the gentle basin satisfies the merges too (the
+                # contested small-correction case), odometry is the
+                # prior-correct default; only when it cannot (genuine
+                # multi-meter drift: the merged lines stay split) does
+                # the stitched jump carry real information.
+                f_st, fh_st = _merged_inlier_frac(refined, frames_m,
+                                                  res.is_kf, merged, cfg)
+                f_od, fh_od = _merged_inlier_frac(alt, frames_m,
+                                                  res.is_kf, merged, cfg)
+                self._refine_loop_frac = {
+                    "stitched": (round(f_st, 3), round(fh_st, 3)),
+                    "odometry_init": (round(f_od, 3), round(fh_od, 3))}
+                # guard only: the gentle basin must still explain the
+                # merges about as well (it does whenever the correction
+                # is sub-noise — measured 97-99% both basins)
+                if f_od >= f_st - 0.05 and fh_od >= fh_st - 0.05:
+                    refined = alt
+                    traj = alt.trajectory
+                    self._refine_pick = "odometry-init"
             t_refine = time.perf_counter() - t3
 
         stats = dict(res.stats)
@@ -1195,8 +1349,11 @@ class BatchSlamLC:
             "wall_joint_confirm_s": (round(t_joint, 3)
                                      if n_spans else 0.0),
             "num_joint_solves": n_joint if n_spans else 0,
+            "wall_confirm_stages": (confirm_stages if n_spans else {}),
             "wall_pgo_s": round(t_pgo, 3),
             "wall_refine_s": round(t_refine, 3),
+            "refine_pick": getattr(self, "_refine_pick", "stitched"),
+            "refine_loop_frac": getattr(self, "_refine_loop_frac", None),
         })
         return BatchLCResult(base=res, trajectory=traj, events=events,
                              merged_fids=merged, stats=stats,

@@ -354,8 +354,13 @@ def _cho_solve_equilibrated(S, rhs):
     return jax.scipy.linalg.cho_solve(cf, rhs * di) * di
 
 
-def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
-    """Solve (H + lam * D^2) delta = -g by Schur elimination of lines."""
+def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f,
+                Hoff=None, edge_i=None, edge_j=None):
+    """Solve (H + lam * D^2) delta = -g by Schur elimination of lines.
+
+    Hoff (E, 6, 6) with (edge_i, edge_j): off-diagonal camera-camera
+    coupling blocks from pose-prior edges (local_ba_impl prior_edges) —
+    scattered straight into the dense reduced system."""
     C = Hcc.shape[0]
     L = Hll.shape[0]
     dtype = Hcc.dtype
@@ -376,7 +381,12 @@ def _solve_step(Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f):
     S = -Xm @ Wm.T
     Hcc_d = Hcc + lam * diag_c[..., None] * jnp.eye(6, dtype=dtype)
     S = S.reshape(C, 6, C, 6).at[jnp.arange(C), :, jnp.arange(C), :].add(
-        Hcc_d).reshape(C * 6, C * 6)
+        Hcc_d)
+    if Hoff is not None:
+        S = S.at[edge_i, :, edge_j, :].add(Hoff)
+        S = S.at[edge_j, :, edge_i, :].add(
+            jnp.transpose(Hoff, (0, 2, 1)))
+    S = S.reshape(C * 6, C * 6)
 
     rhs = (-gc.reshape(-1) + Xm @ gl.reshape(-1))
 
@@ -403,7 +413,7 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                   cam_free, line_free, baseline, huber_delta,
                   robust=True, max_iters=10,
                   line_param="orth", assembly=None, pose_only=False,
-                  cam_anchor_sigmas=None):
+                  cam_anchor_sigmas=None, prior_edges=None):
     """Run windowed local BA.  All shapes static (padded).
 
     Args:
@@ -422,6 +432,19 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
         ignored) and the line-Jacobian/Schur machinery is never built —
         the motion-only-BA instantiation (slam.cpp:578-675).  Identical
         math to the full path with line_free all-False.
+      prior_edges: optional (ei (E,), ej (E,), c (E, 6), sig (E, 2)) —
+        pairwise pose constraints ``T_j ~ c . T_i`` with per-edge
+        (sigma_rot, sigma_t), fused into the normal equations exactly as
+        the CG path's prior_edges (ops/schur_cg.py) but with the
+        off-diagonal coupling blocks scattered into the DENSE reduced
+        camera system.  Built for the deferred-LC joint span confirms
+        (engine/batch_lc.py): their problems are window-sized, and the
+        dense solver runs ONE device step per LM iteration where the
+        matrix-free CG path runs a nested while_loop of tiny latency-
+        bound matvecs — which, vmapped across confirm lanes, inflated to
+        max-over-lanes steps at BOTH nesting levels (r5 measurement: the
+        1000-keyframe confirm wall).  Pad with zero-weight self-edges
+        (sig ~ 1e9).
       cam_anchor_sigmas: optional (sigma_rot, sigma_t) — a weak Gaussian
         anchor of every free camera at its INITIAL pose, fused into the
         normal equations.  Outdoor windows (distant lines, 0.12 m stereo
@@ -465,6 +488,32 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
         g_a = d * (aw * aw)                                    # (C,6)
         return cost_a, g_a
 
+    if prior_edges is not None:
+        assert not pose_only, "prior_edges needs the full solve path"
+        edge_i, edge_j, edge_c, edge_sig = prior_edges
+        edge_sig = jnp.asarray(edge_sig, dtype)
+        pscale = jnp.concatenate(
+            [1.0 / jnp.repeat(edge_sig[:, 0:1], 3, axis=1),
+             1.0 / jnp.repeat(edge_sig[:, 1:2], 3, axis=1)], axis=1)
+
+    def _edge_terms(cw):
+        """(cost_e, gc_e (C,6), Hcc_e (C,6,6), Hoff (E,6,6))."""
+        from .pose_graph import _edge_rj_batch
+        r, J1, J2 = _edge_rj_batch(cw[edge_i], cw[edge_j], edge_c)
+        r = r * pscale
+        J1 = J1 * pscale[:, :, None] * cam_free_f[edge_i, None, None]
+        J2 = J2 * pscale[:, :, None] * cam_free_f[edge_j, None, None]
+        cost_e = 0.5 * jnp.sum(r * r)
+        C = cw.shape[0]
+        gc_e = jnp.zeros((C, 6), dtype)
+        gc_e = gc_e.at[edge_i].add(jnp.einsum("eki,ek->ei", J1, r))
+        gc_e = gc_e.at[edge_j].add(jnp.einsum("eki,ek->ei", J2, r))
+        Hcc_e = jnp.zeros((C, 6, 6), dtype)
+        Hcc_e = Hcc_e.at[edge_i].add(jnp.einsum("eki,ekj->eij", J1, J1))
+        Hcc_e = Hcc_e.at[edge_j].add(jnp.einsum("eki,ekj->eij", J2, J2))
+        Hoff = jnp.einsum("eki,ekj->eij", J1, J2)
+        return cost_e, gc_e, Hcc_e, Hoff
+
     # The full system (residuals + Jacobians + assembly) is evaluated
     # INSIDE the loop body only, at the current accepted point; the trial
     # point is scored with a residual-only cost.  One instance of the
@@ -484,15 +533,20 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
                                cam_free_f, line_free_f, baseline,
                                huber_delta, robust,
                                line_param=line_param, assembly=assembly)
-        if cam_anchor_sigmas is None:
+        if cam_anchor_sigmas is not None:
+            cost_a, g_a = _anchor_terms(cw)
+            H_a = jnp.diag(aw * aw)[None] * cam_free_f[:, None, None]
+            if pose_only:
+                cost, Hcc, gc = out
+                out = (cost + cost_a, Hcc + H_a, gc + g_a)
+            else:
+                cost, Hcc, Hll, gc, gl, W = out
+                out = (cost + cost_a, Hcc + H_a, Hll, gc + g_a, gl, W)
+        if prior_edges is None:
             return out
-        cost_a, g_a = _anchor_terms(cw)
-        H_a = jnp.diag(aw * aw)[None] * cam_free_f[:, None, None]
-        if pose_only:
-            cost, Hcc, gc = out
-            return cost + cost_a, Hcc + H_a, gc + g_a
         cost, Hcc, Hll, gc, gl, W = out
-        return cost + cost_a, Hcc + H_a, Hll, gc + g_a, gl, W
+        cost_e, gc_e, Hcc_e, Hoff = _edge_terms(cw)
+        return cost + cost_e, Hcc + Hcc_e, Hll, gc + gc_e, gl, W, Hoff
 
     def cost_only(cw, lo):
         r = lba_residual_batch(cw[obs_cam], lo[obs_line], obs, baseline,
@@ -501,6 +555,12 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
         cost = jnp.sum(jnp.where(w_valid > 0, cost_i, 0.0))
         if cam_anchor_sigmas is not None:
             cost = cost + _anchor_terms(cw)[0]
+        if prior_edges is not None:
+            # full (unmasked) residual, matching _edge_terms' cost — the
+            # trial/accepted costs must be the same function for rho
+            from .pose_graph import edge_residual
+            re = jax.vmap(edge_residual)(cw[edge_i], cw[edge_j], edge_c)
+            cost = cost + 0.5 * jnp.sum((re * pscale) ** 2)
         return cost
 
     cost0 = cost_only(cam_wt, line_orth)
@@ -537,6 +597,11 @@ def local_ba_impl(cam_wt, line_orth, obs, obs_cam, obs_line, obs_valid,
             dc, damp_quad, g_dot_d = _solve_step_pose(Hcc, gc, lam,
                                                       cam_free_f)
             dl = jnp.zeros_like(s.line)
+        elif prior_edges is not None:
+            _, Hcc, Hll, gc, gl, W, Hoff = evaluate(s.cam, s.line)
+            dc, dl, damp_quad, g_dot_d = _solve_step(
+                Hcc, Hll, gc, gl, W, lam, cam_free_f, line_free_f,
+                Hoff=Hoff, edge_i=edge_i, edge_j=edge_j)
         else:
             _, Hcc, Hll, gc, gl, W = evaluate(s.cam, s.line)
             dc, dl, damp_quad, g_dot_d = _solve_step(

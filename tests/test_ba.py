@@ -200,6 +200,62 @@ class TestLocalBA:
         np.testing.assert_allclose(np.asarray(cam_out)[1], cam_wt[1],
                                    atol=1e-6)
 
+    def test_prior_edges_matches_cg_path(self):
+        # the dense solver's pose-prior edges (r5, built for the
+        # deferred-LC joint confirms) must agree with the CG path's
+        # established prior_edges implementation on the same problem
+        from slslam_tpu.ops.schur_cg import global_ba_cg, pack_line_major
+
+        cam_wt, gt_lines, obs, obs_cam, obs_line, _ = make_problem(
+            num_cams=4, noise_px=0.3, seed=6)
+        rng = np.random.default_rng(8)
+        L = len(gt_lines)
+        orth0 = np.array(geo.av_to_orth(jnp.asarray(gt_lines)))
+        orth0 += rng.standard_normal(orth0.shape) * 0.003
+        cam0 = cam_wt + rng.standard_normal(cam_wt.shape) * 0.02
+        cam0[0] = cam_wt[0]
+        cam_free = np.array([False, True, True, True])
+        # consecutive odometry-style edges with per-edge sigmas + one
+        # zero-weight padding self-edge
+        ei = np.array([0, 1, 2, 0], np.int32)
+        ej = np.array([1, 2, 3, 0], np.int32)
+        ec = np.stack([
+            (Pose.from_wt(cam_wt[j]) @ Pose.from_wt(cam_wt[i]).inv()).wt()
+            for i, j in zip(ei[:3], ej[:3])] + [np.zeros(6)])
+        sig = np.array([[0.02, 0.1]] * 3 + [[1e9, 1e9]])
+
+        cam_d, line_d, st_d = local_ba(
+            jnp.asarray(cam0), jnp.asarray(orth0), jnp.asarray(obs),
+            jnp.asarray(obs_cam), jnp.asarray(obs_line),
+            jnp.ones(len(obs), bool), jnp.asarray(cam_free),
+            jnp.ones(L, bool), BL, 1.0 / CAM.focal_length,
+            robust=True, max_iters=25,
+            prior_edges=(jnp.asarray(ei), jnp.asarray(ej),
+                         jnp.asarray(ec), jnp.asarray(sig)))
+
+        p = pack_line_major(obs, obs_cam, obs_line, 4, L)
+        cam_c, line_c, st_c = global_ba_cg(
+            jnp.asarray(cam0), jnp.asarray(orth0), jnp.asarray(p.obs),
+            jnp.asarray(p.obs_cam), jnp.asarray(p.obs_valid),
+            jnp.asarray(p.cam_perm), jnp.asarray(p.cam_perm_valid),
+            jnp.asarray(cam_free), jnp.ones(L, bool),
+            BL, 1.0 / CAM.focal_length, robust=True, max_iters=25,
+            prior_edges=(ei, ej, ec, sig))
+
+        # same optimum (solvers differ in path; CG is inexact by eta)
+        np.testing.assert_allclose(np.asarray(cam_d), np.asarray(cam_c),
+                                   rtol=1e-3, atol=5e-4)
+        np.testing.assert_allclose(np.asarray(line_d), np.asarray(line_c),
+                                   rtol=1e-3, atol=2e-3)
+        # the prior is ACTIVE: solution differs from the prior-free one
+        cam_n, _, _ = local_ba(
+            jnp.asarray(cam0), jnp.asarray(orth0), jnp.asarray(obs),
+            jnp.asarray(obs_cam), jnp.asarray(obs_line),
+            jnp.ones(len(obs), bool), jnp.asarray(cam_free),
+            jnp.ones(L, bool), BL, 1.0 / CAM.focal_length,
+            robust=True, max_iters=25)
+        assert np.abs(np.asarray(cam_d) - np.asarray(cam_n)).max() > 1e-7
+
     def test_blocked_assembly_matches_scatter(self):
         # assembly="blocked" (camera-major contiguous layout, the batch
         # engine's window packing) must reproduce the scatter assembly's

@@ -132,6 +132,8 @@ def run_sequence(seq, args):
             num_loop_spans=lc_res.stats.get("num_loop_spans"),
             num_loop_closures=lc_res.stats["num_loop_closures"],
             num_merged_tracks=lc_res.stats["num_merged_tracks"],
+            refine_pick=lc_res.stats.get("refine_pick"),
+            refine_loop_frac=lc_res.stats.get("refine_loop_frac"),
             recognizer=dict(getattr(eng.recognizer, "stats", {})),
         )
     print(json.dumps(out))
