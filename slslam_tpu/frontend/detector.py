@@ -232,7 +232,14 @@ class LineSegmentDetector:
         self.stroke_max_sep = stroke_max_sep
 
     def detect(self, img: np.ndarray) -> np.ndarray:
-        """(H, W) grayscale -> (N, 4) segments (x1, y1, x2, y2).
+        """(H, W) grayscale -> (N, 4) segments (x1, y1, x2, y2)."""
+        return self.detect_with_gradients(img)[0]
+
+    def detect_with_gradients(self, img: np.ndarray):
+        """detect() that also returns the (magnitude, angle) gradient
+        maps it computed — the descriptor stage needs the same maps, and
+        recomputing them cost ~2x the gradient wall per frame (r5
+        front-end profile).
 
         The region-growing pass runs in the native runtime library when
         available (60x the pure-Python fallback below; same semantics,
@@ -247,8 +254,9 @@ class LineSegmentDetector:
                                 self.min_density)
         if nat is not None:
             out, gd = nat
-            return self._postprocess(out, gd)
-        return self._postprocess(*self._grow_regions(mag, angle))
+            return self._postprocess(out, gd), mag, angle
+        return (self._postprocess(*self._grow_regions(mag, angle)),
+                mag, angle)
 
     def _postprocess(self, out, gd):
         if self.fuse_stroke_edges and len(out):

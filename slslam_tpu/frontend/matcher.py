@@ -119,9 +119,8 @@ class StereoLineMatcher:
         from concurrent.futures import ThreadPoolExecutor
 
         def side(img):
-            segs = self.detector.detect(img)
-            mag, ang = image_gradients(jnp.asarray(img, jnp.float32))
-            desc = describe(np.asarray(mag), np.asarray(ang), segs)
+            segs, mag, ang = self.detector.detect_with_gradients(img)
+            desc = describe(mag, ang, segs)
             return segs, desc
 
         if self._pool is None:
