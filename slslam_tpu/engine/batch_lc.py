@@ -153,6 +153,21 @@ def _span_solve_batch(o0S, o1S, validS, keys, baseline, error_thr,
 
 _SPAN_BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128)
 
+# Confirm-stage knobs (measured on the 1000-kf run + the wlc proxy
+# pairs).  The quality-critical solvers keep full LM: a fixed-lambda
+# 15-iteration GN swap for the group fits and a lines-GN pre-stage
+# before the joint polish were both tried for speed and REJECTED —
+# each independently killed olympic4f seed-0's rescue closure (0
+# accepted vs the record's 9/9 improvement; the pre-stage fits lines
+# against the lane's unconverged cameras and flattens the vote).  The
+# confirm wall's actual cost was the HOST candidate-pose loop + the
+# all-rows scoring pack (27 of 36.9 s at 1000 kf), fixed in
+# _joint_confirm_jobs without touching solver math.
+_POLISH_LM_ITERS = 30      # joint-polish LM cap (the r4 value)
+_SCORE_ROWS_CAP = 64       # rows per span scored when picking the
+                           # RANSAC alignment candidate (24 was measured
+                           # too coarse on olympic4f's rescue spans)
+
 
 def _merged_inlier_frac(ref, frames_m, is_kf, merged, cfg: SlamConfig):
     """Fraction of MERGED-track observations within the inlier threshold
@@ -349,7 +364,16 @@ class _JointPrep:
 def _group_fit_many(cam, line, obs, ocam, olin, ovalid, lfree, baseline,
                     huber_delta, *, robust, max_iters, line_param):
     """All spans' per-group lines-only BAs in ONE dispatch (cameras fixed
-    at the in-group odometry)."""
+    at the in-group odometry).
+
+    This stays the full LM solver (not the fixed-iteration lines-GN):
+    the group clouds seed the RANSAC line-cloud alignment, and swapping
+    in a fixed-lambda 15-iteration GN here was measured to kill the
+    olympic4f rescue closures outright (0 accepted on seeds 0-1 vs the
+    record's 9/9 improvement — far-from-basin lines stall without LM's
+    lambda adaptation).  The stage is cheap anyway: the r5 confirm wall
+    was the HOST candidate-pose loop (see _joint_confirm_jobs), not
+    these solves (~2-4 s of the 36.9 s at 1000 kf)."""
     from ..ops.schur_ba import local_ba_impl
 
     def one(c, l, o, oc, ol, ov, lf):
@@ -375,7 +399,14 @@ def _joint_polish_many(cam, line, obs, ocam, olin, ovalid, cfree,
     attempt vmapped the matrix-free CG solver, whose nested while loops
     ran max-over-lanes tiny matvecs at both levels and kept the confirm
     wall at 45 s.  obs must be camera-major contiguous per lane
-    (assembly="blocked")."""
+    (assembly="blocked").
+
+    NO lines-GN pre-stage here, deliberately: pre-fitting the lines
+    against the lane's unconverged cameras flattens the joint vote
+    (measured: olympic4f seed-0's rescue closure went from accepted to
+    0 accepted with a 6-iteration pre-stage; the staged-solve trick
+    that helps the window BA hurts hypothesis RACING, where lanes must
+    stay distinguishable)."""
     from ..ops.schur_ba import local_ba_impl
 
     def one(c, l, o, oc, ol, ov, cf, lf, i1, j1, c1, s1):
@@ -664,15 +695,34 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
                     if prep.ocam[ri] >= len(prep.old_ks)]
         Rn = len(new_rows)
         J = len(cands_S)
-        cw_all = np.zeros((J, Rn, 6))
-        for j, Sc in enumerate(cands_S):
-            for r_i, ri in enumerate(new_rows):
-                cw_all[j, r_i] = (
-                    prep.Qg[prep.cams[prep.ocam[ri]]] @ Sc).wt()
+        # candidate poses per (candidate, NEW camera) — the r5a version
+        # composed per (candidate, row), ~J*Rn Pose matmuls + so3_logs
+        # per span, and at 1000 kf that host loop WAS the confirm wall
+        # (27 of 32 s measured); rows share the span's few new cameras
+        # candidate selection only needs a representative row subset:
+        # J*Rn rows per span (~20k) made the scoring pack + transfer the
+        # next wall once the pose composition was fixed; 24 evenly
+        # spaced rows keep the inlier argmax stable (the winner is
+        # polished by the joint solve either way) at ~4% of the bytes
+        if Rn > _SCORE_ROWS_CAP:
+            sel = np.linspace(0, Rn - 1, _SCORE_ROWS_CAP).astype(int)
+            new_rows = [new_rows[k] for k in sel]
+            Rn = len(new_rows)
+        cam_wts = {}
+        for g in prep.new_ks:
+            Qgg = prep.Qg[g]
+            cam_wts[prep.cam_of[g]] = np.stack(
+                [(Qgg @ Sc).wt() for Sc in cands_S])        # (J, 6)
+        cw_all = np.stack([cam_wts[int(prep.ocam[ri])]
+                           for ri in new_rows], axis=1)     # (J, Rn, 6)
         la = av_to_orth_np(linesA)[prep.olin[new_rows]]
-        score_parts.append((i, J, Rn, cw_all.reshape(-1, 6),
-                            np.tile(la, (J, 1)),
-                            np.tile(prep.rows[new_rows], (J, 1))))
+        cast = np.dtype(dtype)  # pack at compute dtype: halves the
+        #                         host->device bytes on the f32 chip path
+        score_parts.append((i, J, Rn,
+                            cw_all.reshape(-1, 6).astype(cast),
+                            np.tile(la, (J, 1)).astype(cast),
+                            np.tile(prep.rows[new_rows],
+                                    (J, 1)).astype(cast)))
         cand_lists[i] = cands_S
     S_best = {}
     if score_parts:
@@ -823,7 +873,8 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
         jnp.asarray(ej_b), jnp.asarray(ec_b), jnp.asarray(esig_b),
         jnp.asarray(cfg.camera.baseline, dtype),
         jnp.asarray(cfg.huber_delta, dtype),
-        robust=cfg.robust, max_iters=30, line_param=cfg.line_param)
+        robust=cfg.robust, max_iters=_POLISH_LM_ITERS,
+        line_param=cfg.line_param)
     cam_out = np.asarray(cam_out, np.float64)
     line_out = np.asarray(line_out, np.float64)
     _mark("joint_polish")
