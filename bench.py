@@ -365,10 +365,18 @@ def bench_lc(platform, t_start, as_extra=False):
     # tests/test_batch_lc.py::test_village_batch_lc_end_to_end — the
     # config whose LC-beats-odometry property is CI-guarded
     num_frames = 170
+    # capacity buckets sized to the village workload, same rationale as
+    # batch mode's 80-buckets: the scan is row-throughput-bound and the
+    # defaults pad Om 74->128 and Lcap 292->512 (replay measured
+    # 3.3 -> ~2 s warm).  Small leading entries stay so the confirm
+    # stages' per-span problems keep their tight pads.
     cfg = dataclasses.replace(
         SlamConfig(),
         compute_dtype="float64" if platform == "cpu" else "float32",
-        kf_rot_thr=1e-9, kf_tr_thr=1e-9)
+        kf_rot_thr=1e-9, kf_tr_thr=1e-9,
+        obs_buckets=(64, 80, 128, 256, 512, 1024, 2048),
+        line_buckets=(32, 64, 128, 320, 512, 1024, 2048),
+        corr_buckets=(80, 256))
 
     segs = village_segments(n_houses=6, ring_radius=9.0)
     poses_gt = village_trajectory(num_frames=num_frames, arc=2.7 * np.pi,
