@@ -1081,13 +1081,24 @@ class BatchSlamLC:
 
     def __init__(self, config: Optional[SlamConfig] = None,
                  recognizer=None, descriptor_source=None,
-                 refine: bool = False, refine_rounds: int = 2):
+                 refine: bool = False, refine_rounds: int = 2,
+                 overlap_descriptors: bool = False):
         self.cfg = config or SlamConfig()
         self.dtype = jnp.dtype(self.cfg.compute_dtype)
         self.recognizer = recognizer
         self.descriptor_source = descriptor_source
         self.refine = refine
         self.refine_rounds = refine_rounds
+        # overlap_descriptors=True computes EVERY frame's descriptors on
+        # the host while the device runs the replay scan (the scan is
+        # dispatched async; through the tunnel the host is otherwise
+        # idle for seconds).  Opt-in because stateful descriptor sources
+        # (sim.tracks draws per-call RNG noise) see a different call
+        # stream when some frames are not keyframes: the default path
+        # calls kf-order/kf-only.  Benches and deferred replays whose
+        # keyframe gates are ~0 (every frame a KF) get an identical
+        # stream and a free ~0.2-0.4 s.
+        self.overlap_descriptors = overlap_descriptors
         self._batch = BatchSlam(self.cfg)
 
     def run(self, frames: List[Dict[int, np.ndarray]],
@@ -1100,8 +1111,16 @@ class BatchSlamLC:
             from .batch import normalize_frames
             frames = normalize_frames(frames, cfg.camera)
 
-        res = self._batch.run(frames, frame_ids=frame_ids,
-                              lifetime=lifetime)
+        handle = self._batch.dispatch(frames, frame_ids=frame_ids,
+                                      lifetime=lifetime)
+        pre_desc = None
+        if (self.overlap_descriptors and self.recognizer is not None
+                and self.descriptor_source is not None):
+            # the scan is enqueued; the device works while the host
+            # computes descriptors for every frame (see __init__)
+            pre_desc = [self.descriptor_source(i, sorted(fr))
+                        for i, fr in enumerate(frames)]
+        res = self._batch.collect(handle)
         t_replay = time.perf_counter() - t0
 
         kf_idx = np.flatnonzero(np.asarray(res.is_kf, bool))
@@ -1111,20 +1130,27 @@ class BatchSlamLC:
         n_candidates = 0
         n_spans = 0
         t1 = time.perf_counter()
+        t_desc = t_scan = 0.0
         if self.recognizer is not None and self.descriptor_source is not None:
             base_key = jax.random.PRNGKey(cfg.rseed ^ 0x10C)
             fids_list = [sorted(frames[f]) for f in kf_idx]
             if hasattr(self.recognizer, "recognize_all"):
                 # batched recognition: the whole timeline in one scan
                 # (loopclosure/batch.py) — the TPU-fast path
-                descs = [self.descriptor_source(int(f), fids)
-                         for f, fids in zip(kf_idx, fids_list)]
+                descs = (
+                    [pre_desc[int(f)] for f in kf_idx]
+                    if pre_desc is not None else
+                    [self.descriptor_source(int(f), fids)
+                     for f, fids in zip(kf_idx, fids_list)])
+                t_desc = time.perf_counter() - t1
                 hits = self.recognizer.recognize_all(
                     list(range(len(kf_idx))), fids_list, descs)
+                t_scan = time.perf_counter() - t1 - t_desc
             else:
                 hits = [self.recognizer.query_and_insert(
                     k, fids_list[k],
-                    self.descriptor_source(int(f), fids_list[k]))
+                    pre_desc[int(f)] if pre_desc is not None
+                    else self.descriptor_source(int(f), fids_list[k]))
                     for k, f in enumerate(kf_idx)]
 
             # correlated detections dedup to one edge per revisit span
@@ -1396,6 +1422,8 @@ class BatchSlamLC:
                                if pgo_stats is not None else 0),
             "wall_replay_s": round(t_replay, 3),
             "wall_recognition_s": round(t_recog, 3),
+            "wall_desc_s": round(t_desc, 3),
+            "wall_recog_scan_s": round(t_scan, 3),
             "wall_span_rounds_s": round(t_rounds, 3) if n_spans else 0.0,
             "wall_joint_confirm_s": (round(t_joint, 3)
                                      if n_spans else 0.0),

@@ -97,7 +97,8 @@ def main(argv=None):
     tree = VocTree(vocab, params)
     rec = BatchPlaceRecognizer(tree, min_matches=8, min_similarity=0.8)
     eng = BatchSlamLC(cfg, recognizer=rec, descriptor_source=desc_src,
-                      refine=True, refine_rounds=2)
+                      refine=True, refine_rounds=2,
+                      overlap_descriptors=True)
     t0 = time.perf_counter()
     res = eng.run(frames)
     cold_s = time.perf_counter() - t0
@@ -105,7 +106,8 @@ def main(argv=None):
     rec2 = BatchPlaceRecognizer(VocTree(vocab, params), min_matches=8,
                                 min_similarity=0.8)
     eng2 = BatchSlamLC(cfg, recognizer=rec2, descriptor_source=desc_src,
-                       refine=True, refine_rounds=2)
+                       refine=True, refine_rounds=2,
+                       overlap_descriptors=True)
     res = eng2.run(frames)
     warm_s = time.perf_counter() - t0
 
