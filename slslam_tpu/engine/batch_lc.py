@@ -45,7 +45,8 @@ import numpy as np
 from ..config import SlamConfig, bucket_for
 from ..hostgeom import Pose
 from ..ops.pose_graph import pose_graph_opt
-from ..ops.triangulate import triangulate_lines
+from ..ops.triangulate import (triangulate_lines,
+                                triangulate_lines_host)
 from ..ops.vo_pipeline import vo_body
 from .batch import BatchResult, BatchSlam
 
@@ -432,7 +433,8 @@ class _LaneResult:
     vote_ok: bool
 
 
-def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
+def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype,
+                        timing=None):
     """Stage 1 for every rescue span: both groups' multi-view line fits
     (cameras fixed at the in-group odometry, lines free), all in one
     vmapped dispatch.  Returns {prep_idx: (lines_A, cntA, lines_B, cntB)}
@@ -446,6 +448,7 @@ def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
     """
     from ..hostgeom import av_to_orth_np, orth_to_av_np
 
+    t_sub = time.perf_counter()
     jobs = []   # (prep_idx, side, grp, cw, rws, oc, ol, cnt, init)
     for pi, prep in preps:
         for side in ("old", "new"):
@@ -473,6 +476,9 @@ def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
 
     if not jobs:
         return {}
+    if timing is not None:
+        timing["group_fits_rows"] = round(time.perf_counter() - t_sub, 3)
+        t_sub = time.perf_counter()
 
     Gb = bucket_for(max(len(j[2]) for j in jobs), cfg.cam_buckets)
     Lb = bucket_for(max(p.L for _, p in preps), cfg.line_buckets)
@@ -480,9 +486,12 @@ def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
     S = bucket_for(len(jobs), _SPAN_BUCKETS)
 
     # one batched triangulation for every job's line inits
-    tri_cat = np.asarray(triangulate_lines(
-        jnp.asarray(np.concatenate([j[4] for j in jobs]), dtype),
-        cfg.camera.baseline, inverse_depth=cfg.inverse_depth), np.float64)
+    tri_cat = triangulate_lines_host(
+        np.concatenate([j[4] for j in jobs]), cfg.camera.baseline,
+        inverse_depth=cfg.inverse_depth, dtype=dtype)
+    if timing is not None:
+        timing["group_fits_tri"] = round(time.perf_counter() - t_sub, 3)
+        t_sub = time.perf_counter()
 
     cam_b = np.zeros((S, Gb, 6))
     line_b = np.zeros((S, Lb, 4))
@@ -524,6 +533,9 @@ def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
         oc_b[s], ol_b[s], ov_b[s], lf_b[s] = (oc_b[0], ol_b[0], ov_b[0],
                                               lf_b[0])
 
+    if timing is not None:
+        timing["group_fits_pack"] = round(time.perf_counter() - t_sub, 3)
+    t_pack = time.perf_counter()
     _, line_out, _ = _group_fit_many(
         jnp.asarray(cam_b, dtype), jnp.asarray(line_b, dtype),
         jnp.asarray(obs_b, dtype), jnp.asarray(oc_b), jnp.asarray(ol_b),
@@ -533,6 +545,8 @@ def _fit_group_problems(preps, traj, cfg: SlamConfig, dtype):
         robust=True, max_iters=max(cfg.max_num_iter, 25),
         line_param=cfg.line_param)
     line_out = np.asarray(line_out, np.float64)
+    if timing is not None:
+        timing["group_fits_solve"] = round(time.perf_counter() - t_pack, 3)
 
     out = {}
     for s, (pi, side, grp, cw, rws, oc_l, ol_l) in enumerate(jobs):
@@ -679,7 +693,7 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
     # r4's sequential code retried with init=None for exactly this) ----
     rescue = [(i, preps[i]) for i in range(n_jobs)
               if preps[i] is not None]
-    fits = _fit_group_problems(rescue, traj, cfg, dtype)
+    fits = _fit_group_problems(rescue, traj, cfg, dtype, timing=timing)
     _mark("group_fits")
     cand_lists = {}
     score_parts = []            # (job_i, J, Rn, cw, lo, ob)
@@ -785,9 +799,9 @@ def _joint_confirm_jobs(jobs, frames, kf_idx, traj, cfg: SlamConfig,
     packs, priors, line_inits, cfree_j, lfree_j = {}, {}, {}, {}, {}
     tri_jobs = [(i, np.stack([preps[i].line_first[of][1]
                               for of in preps[i].line_ids])) for i in act]
-    tri_cat = np.asarray(triangulate_lines(
-        jnp.asarray(np.concatenate([t for _, t in tri_jobs]), dtype),
-        cfg.camera.baseline, inverse_depth=cfg.inverse_depth), np.float64)
+    tri_cat = triangulate_lines_host(
+        np.concatenate([t for _, t in tri_jobs]), cfg.camera.baseline,
+        inverse_depth=cfg.inverse_depth, dtype=dtype)
     pos = 0
     for i, first_obs in tri_jobs:
         prep = preps[i]

@@ -37,7 +37,7 @@ import numpy as np
 from ..config import SlamConfig, bucket_for
 from ..hostgeom import Pose, av_to_orth_np, orth_to_av_np
 from ..ops.schur_ba import local_ba_impl
-from ..ops.triangulate import triangulate_lines
+from ..ops.triangulate import triangulate_lines_host
 
 
 @dataclasses.dataclass
@@ -144,9 +144,9 @@ def init_problem_values(s: GlobalProblemStructure,
     Pick per line whichever candidate fits that line's observations
     best.  Degenerate (b) rows (near-parallel planes) fall back to (a).
     """
-    lines_cam = np.asarray(triangulate_lines(
-        jnp.asarray(s.first_obs), cfg.camera.baseline,
-        inverse_depth=cfg.inverse_depth), np.float64)
+    lines_cam = triangulate_lines_host(
+        s.first_obs, cfg.camera.baseline,
+        inverse_depth=cfg.inverse_depth)
     cam_wt, lines_w, lines_wide = _init_candidates_host(s, trajectory,
                                                         lines_cam)
     lines_w = _pick_better_lines(lines_w, lines_wide, cam_wt, s.obs,
@@ -159,9 +159,9 @@ def _init_values_many(structs, trajs, cfg: SlamConfig):
     total (one batched triangulation, one batched candidate scoring)
     instead of two per problem — the multi-sequence refine's init would
     otherwise pay 2 * S * rounds tunnel round trips."""
-    tri_cat = np.asarray(triangulate_lines(
-        jnp.asarray(np.concatenate([s.first_obs for s in structs])),
-        cfg.camera.baseline, inverse_depth=cfg.inverse_depth), np.float64)
+    tri_cat = triangulate_lines_host(
+        np.concatenate([s.first_obs for s in structs]),
+        cfg.camera.baseline, inverse_depth=cfg.inverse_depth)
     offs = np.cumsum([0] + [len(s.feat_ids) for s in structs])
     cands = [_init_candidates_host(s, t, tri_cat[offs[i]:offs[i + 1]])
              for i, (s, t) in enumerate(zip(structs, trajs))]
@@ -297,9 +297,18 @@ def _pick_better_lines(lines_a, lines_b, cam_wt, obs, ocam, olin, cfg):
     olin2 = np.concatenate([olin, L + olin])
     cw2 = np.concatenate([cam_wt[ocam], cam_wt[ocam]])
     obs2 = np.concatenate([obs, obs])
-    r = lba_residual_batch(jnp.asarray(cw2), jnp.asarray(orth2)[olin2],
-                           jnp.asarray(obs2), cfg.camera.baseline)
-    e = np.abs(np.asarray(r)).sum(axis=1)
+    # pad rows to a 4096 multiple: a novel row count hands jit a fresh
+    # shape, and over the remote-compile tunnel even this residual-only
+    # kernel costs ~1.4 s per novel shape (each bench seed has its own
+    # obs count — measured r5, triangulate_lines_host rationale)
+    tot = len(cw2)
+    totb = -(-tot // 4096) * 4096
+    pad = lambda a, w: (np.concatenate([a, np.zeros((totb - tot, w))])
+                        if totb > tot else a)
+    r = lba_residual_batch(jnp.asarray(pad(cw2, 6)),
+                           jnp.asarray(pad(orth2[olin2], 4)),
+                           jnp.asarray(pad(obs2, 8)), cfg.camera.baseline)
+    e = np.abs(np.asarray(r)[:tot]).sum(axis=1)
     e = np.where(np.isfinite(e), e, 1e6)
     tot = np.zeros(2 * L)
     np.add.at(tot, olin2, e)

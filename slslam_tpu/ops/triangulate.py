@@ -21,6 +21,36 @@ import jax.numpy as jnp
 from .. import geometry as geo
 
 
+def triangulate_lines_host(obs, baseline, *, inverse_depth=0.1,
+                           dtype=None,
+                           buckets=(64, 256, 1024, 4096, 16384)):
+    """Host-side entry: pad the row count to a capacity bucket before the
+    jitted kernel, returning an f64 array of the first n rows.
+
+    Host callers concatenating data-dependent row counts (the refine's
+    init, the loop-confirm group fits) otherwise hand jit a NOVEL shape
+    per call — and through the remote-compile tunnel every novel shape
+    of even this trivial kernel costs ~1.3-1.8 s of XLA compile vs a
+    30-50 ms warm call (measured r5: the lc bench's group-fit stage was
+    1.24 s of which 0.08 s was the actual solve).  All-zero padding rows
+    triangulate to the 10 m depth-clamped default (slam.cpp:206-213) and
+    never NaN.  Rows past the last bucket round up to its next multiple.
+    """
+    import numpy as np
+
+    from ..config import bucket_for
+    obs = np.asarray(obs)
+    n = obs.shape[0]
+    Nb = (bucket_for(n, buckets) if n <= buckets[-1]
+          else -(-n // buckets[-1]) * buckets[-1])
+    padded = np.zeros((Nb, 8), obs.dtype)
+    padded[:n] = obs
+    arr = (jnp.asarray(padded, dtype) if dtype is not None
+           else jnp.asarray(padded))
+    return np.asarray(triangulate_lines(
+        arr, baseline, inverse_depth=inverse_depth), np.float64)[:n]
+
+
 @functools.partial(jax.jit, static_argnames=("inverse_depth",))
 def triangulate_lines(obs, baseline, inverse_depth=0.1):
     """Triangulate a batch of stereo line observations.
